@@ -1,0 +1,156 @@
+"""Codec-family round-trip + auto-selection tests (SURVEY.md §2.4)."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from varint_rvv_spark import codecs as C
+from varint_rvv_spark.codecs import VarlenArray, blob as B
+
+
+def rng():
+    return np.random.default_rng(42)
+
+
+def assert_values_equal(a, b, dtype_code):
+    if B.is_varlen(dtype_code):
+        np.testing.assert_array_equal(a.offsets, b.offsets)
+        np.testing.assert_array_equal(a.data, b.data)
+    else:
+        np.testing.assert_array_equal(a, b)
+
+
+NUMERIC_CASES = {
+    (B.DT_U32, "small"): np.arange(1000, dtype=np.uint32),
+    (B.DT_U32, "max"): np.array([0, 2**32 - 1, 7], dtype=np.uint32),
+    (B.DT_U64, "wide"): rng().integers(0, 2**63, 1000).astype(np.uint64),
+    (B.DT_I64, "negative"): rng().integers(-(2**40), 2**40, 1000),
+    (B.DT_I64, "ts_like"): (1704067200_000_000
+                            + np.cumsum(rng().integers(0, 5000, 1000))),
+    (B.DT_I64, "extremes"): np.array([-(2**63), 2**63 - 1, 0, -1, 1]),
+    (B.DT_I32, "runs"): np.repeat(np.arange(20, dtype=np.int32), 50),
+    (B.DT_F64, "floats"): rng().normal(size=500),
+    (B.DT_F32, "f32"): rng().normal(size=500).astype(np.float32),
+}
+
+INT_CODECS = [B.RAW, B.VARINT, B.DELTA_VARINT, B.BITPACK, B.DICT, B.RLE, B.ZSTD]
+FLOAT_CODECS = [B.RAW, B.DICT, B.RLE, B.ZSTD]
+
+
+@pytest.mark.parametrize("key", list(NUMERIC_CASES))
+def test_numeric_roundtrip_all_codecs(key):
+    dtype_code, _ = key
+    vals = np.ascontiguousarray(NUMERIC_CASES[key], dtype=B.NUMERIC_NP[dtype_code])
+    codec_list = (FLOAT_CODECS if B.NUMERIC_NP[dtype_code].kind == "f"
+                  else INT_CODECS)
+    for codec in codec_list:
+        blob = C.encode_blob(codec, dtype_code, vals)
+        out, got_codec, got_dt = C.decode_blob(blob)
+        assert got_codec == codec and got_dt == dtype_code
+        np.testing.assert_array_equal(out, vals, err_msg=B.CODEC_NAMES[codec])
+        assert out.dtype == vals.dtype
+
+
+VARLEN_CASES = {
+    "langs": ["en"] * 50 + ["de"] * 20 + ["fr", "es", "zh"] * 10,
+    "urls": [f"https://host{i % 7}.example.com/path/{i}" for i in range(200)],
+    "empty_strings": ["", "a", "", "bb", ""],
+    "binary": [bytes([i % 256, 255 - i % 256]) * (i % 5) for i in range(100)],
+    "unicode": ["héllo", "wörld", "日本語", "кириллица"] * 25,
+    "single": ["only"],
+    "nothing": [],
+}
+
+
+@pytest.mark.parametrize("name", list(VARLEN_CASES))
+def test_varlen_roundtrip_all_codecs(name):
+    items = VARLEN_CASES[name]
+    dtype_code = B.DT_BIN if items and isinstance(items[0], bytes) else B.DT_STR
+    va = VarlenArray.from_pylist(items)
+    for codec in [B.RAW, B.ZSTD, B.DICT, B.RLE]:
+        blob = C.encode_blob(codec, dtype_code, va)
+        out = C.decode_values(blob)
+        assert_values_equal(out, va, dtype_code)
+        assert out.to_pylist(as_str=dtype_code == B.DT_STR) == [
+            x if isinstance(x, (str, bytes)) else x for x in items]
+
+
+def test_varlen_take():
+    va = VarlenArray.from_pylist(["aa", "b", "", "cccc", "dd"])
+    got = va.take(np.array([4, 0, 0, 2]))
+    assert got.to_pylist(as_str=True) == ["dd", "aa", "aa", ""]
+
+
+def test_dict_compresses_low_cardinality():
+    vals = VarlenArray.from_pylist(["en", "de", "en", "en", "fr"] * 2000)
+    raw = C.encode_blob(B.RAW, B.DT_STR, vals)
+    d = C.encode_blob(B.DICT, B.DT_STR, vals)
+    assert len(d) < len(raw) / 10
+
+
+def test_rle_compresses_runs():
+    vals = np.repeat(np.arange(10, dtype=np.int64), 1000)
+    rle = C.encode_blob(B.RLE, B.DT_I64, vals)
+    raw = C.encode_blob(B.RAW, B.DT_I64, vals)
+    assert len(rle) < len(raw) / 100
+
+
+def test_delta_beats_varint_on_sorted():
+    vals = (1704067200_000_000
+            + np.cumsum(rng().integers(0, 100, 10000))).astype(np.int64)
+    dv = C.encode_blob(B.DELTA_VARINT, B.DT_I64, vals)
+    vi = C.encode_blob(B.VARINT, B.DT_I64, vals)
+    assert len(dv) < len(vi) / 4
+
+
+@pytest.mark.parametrize("key", list(NUMERIC_CASES))
+def test_auto_select_roundtrip_numeric(key):
+    dtype_code, _ = key
+    vals = np.ascontiguousarray(NUMERIC_CASES[key], dtype=B.NUMERIC_NP[dtype_code])
+    blob, codec_id, stats = C.encode_auto(vals, dtype_code)
+    out, got_codec, _ = C.decode_blob(blob)
+    assert got_codec == codec_id
+    np.testing.assert_array_equal(out, vals)
+    # north-rule size bound: never bigger than plain varint (= reference
+    # encoder output) for integer columns
+    if B.NUMERIC_NP[dtype_code].kind in "iu":
+        ref = C.encode_blob(B.VARINT, dtype_code, vals)
+        assert len(blob) <= len(ref)
+
+
+@pytest.mark.parametrize("name", list(VARLEN_CASES))
+def test_auto_select_roundtrip_varlen(name):
+    items = VARLEN_CASES[name]
+    dtype_code = B.DT_BIN if items and isinstance(items[0], bytes) else B.DT_STR
+    va = VarlenArray.from_pylist(items)
+    blob, codec_id, stats = C.encode_auto(va, dtype_code)
+    out = C.decode_values(blob)
+    assert_values_equal(out, va, dtype_code)
+
+
+def test_auto_select_picks_sensible_codecs():
+    langs = VarlenArray.from_pylist(["en"] * 5500 + ["de", "fr", "es"] * 1500)
+    assert C.select_codec(langs, B.DT_STR) in (B.DICT, B.RLE)
+    ts = (1704067200_000_000 + np.cumsum(rng().integers(0, 3000, 50000)))
+    assert C.select_codec(ts.astype(np.int64), B.DT_I64) == B.DELTA_VARINT
+    small_range = rng().integers(0, 16, 50000)
+    assert C.select_codec(small_range, B.DT_I64) == B.BITPACK
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1),
+                max_size=200))
+def test_property_auto_int64(xs):
+    vals = np.array(xs, dtype=np.int64)
+    blob, _, _ = C.encode_auto(vals, B.DT_I64)
+    np.testing.assert_array_equal(C.decode_values(blob), vals)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.text(max_size=20), max_size=100))
+def test_property_auto_str(xs):
+    va = VarlenArray.from_pylist(xs)
+    blob, _, _ = C.encode_auto(va, B.DT_STR)
+    out = C.decode_values(blob)
+    assert out.to_pylist(as_str=True) == xs

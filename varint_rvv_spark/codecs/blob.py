@@ -1,0 +1,155 @@
+"""Chunk-blob container format + codec registry.
+
+The reference's encoded form is a bare byte stream with no metadata
+(/root/reference/lib/include/libvarintrvv.h:13-19 — caller carries the
+length out-of-band).  A Spark engine needs self-describing chunks, so
+every encoded column chunk is one ``bytes`` cell laid out as:
+
+    byte 0      codec_id   (uint8)
+    byte 1      dtype_code (uint8)   logical type of the decoded column
+    bytes 2-9   n_values   (uint64 little-endian)
+    bytes 10..  codec payload
+
+Codecs may nest (DICT carries a codes-blob and a values-blob, ZSTD
+wraps an inner blob), so the registry dispatches recursively.
+
+Values representations:
+* numeric columns: 1-D numpy arrays (u32/u64/i32/i64/f32/f64)
+* varlen columns (string/binary): ``VarlenArray`` — Arrow-style
+  (offsets int64[n+1], data uint8[total]) pair, so the whole codec
+  stack stays zero-copy-ish and per-row Python free.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+
+HEADER = struct.Struct("<BBQ")
+HEADER_LEN = HEADER.size  # 10
+
+# --- codec ids (stable on disk; recorded in the footer table) ---
+RAW = 0
+VARINT = 1
+DELTA_VARINT = 2
+DICT = 3
+RLE = 4
+BITPACK = 5
+ZSTD = 6
+FSST = 7
+
+CODEC_NAMES = {
+    RAW: "raw", VARINT: "varint", DELTA_VARINT: "delta_varint",
+    DICT: "dict", RLE: "rle", BITPACK: "bitpack", ZSTD: "zstd",
+    FSST: "fsst",
+}
+CODEC_IDS = {v: k for k, v in CODEC_NAMES.items()}
+
+# --- dtype codes ---
+DT_U32 = 1
+DT_U64 = 2
+DT_I32 = 3
+DT_I64 = 4
+DT_F32 = 5
+DT_F64 = 6
+DT_STR = 7   # utf-8 varlen
+DT_BIN = 8   # raw-bytes varlen
+
+NUMERIC_NP = {
+    DT_U32: np.dtype("<u4"), DT_U64: np.dtype("<u8"),
+    DT_I32: np.dtype("<i4"), DT_I64: np.dtype("<i8"),
+    DT_F32: np.dtype("<f4"), DT_F64: np.dtype("<f8"),
+}
+DTYPE_NAMES = {
+    DT_U32: "u32", DT_U64: "u64", DT_I32: "i32", DT_I64: "i64",
+    DT_F32: "f32", DT_F64: "f64", DT_STR: "str", DT_BIN: "bin",
+}
+
+
+def is_varlen(dtype_code: int) -> bool:
+    return dtype_code in (DT_STR, DT_BIN)
+
+
+@dataclass
+class VarlenArray:
+    """Arrow-layout variable-length byte column: n strings/blobs."""
+
+    offsets: np.ndarray  # int64[n+1], offsets[0] == 0, monotone
+    data: np.ndarray     # uint8[offsets[-1]]
+
+    def __len__(self) -> int:
+        return self.offsets.shape[0] - 1
+
+    @property
+    def nbytes(self) -> int:
+        return int(self.offsets.shape[0] * 8 + self.data.shape[0])
+
+    def lengths(self) -> np.ndarray:
+        return np.diff(self.offsets)
+
+    def to_pylist(self, as_str: bool) -> list:
+        buf = self.data.tobytes()
+        offs = self.offsets
+        if as_str:
+            return [buf[offs[i]:offs[i + 1]].decode("utf-8", "surrogateescape")
+                    for i in range(len(self))]
+        return [buf[offs[i]:offs[i + 1]] for i in range(len(self))]
+
+    @classmethod
+    def from_pylist(cls, items) -> "VarlenArray":
+        enc = [x.encode("utf-8", "surrogateescape") if isinstance(x, str)
+               else (bytes(x) if x is not None else b"") for x in items]
+        lens = np.fromiter((len(b) for b in enc), dtype=np.int64,
+                           count=len(enc))
+        offsets = np.zeros(len(enc) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        data = np.frombuffer(b"".join(enc), dtype=np.uint8).copy() \
+            if enc else np.empty(0, dtype=np.uint8)
+        return cls(offsets=offsets, data=data)
+
+    def take(self, indices: np.ndarray) -> "VarlenArray":
+        """Gather rows by index — vectorized (no per-row Python)."""
+        indices = np.asarray(indices, dtype=np.int64)
+        starts = self.offsets[indices]
+        lens = self.offsets[indices + 1] - starts
+        out_offsets = np.zeros(indices.shape[0] + 1, dtype=np.int64)
+        np.cumsum(lens, out=out_offsets[1:])
+        total = int(out_offsets[-1])
+        out = np.empty(total, dtype=np.uint8)
+        if total:
+            # flat src index = start[row] + offset-within-row
+            row_id = np.repeat(np.arange(indices.shape[0]), lens)
+            within = np.arange(total, dtype=np.int64) - out_offsets[row_id]
+            out[:] = self.data[starts[row_id] + within]
+        return VarlenArray(offsets=out_offsets, data=out)
+
+
+# --- registry ---
+_ENCODERS: dict[int, callable] = {}
+_DECODERS: dict[int, callable] = {}
+
+
+def register(codec_id: int, encode_fn, decode_fn) -> None:
+    _ENCODERS[codec_id] = encode_fn
+    _DECODERS[codec_id] = decode_fn
+
+
+def encode_blob(codec_id: int, dtype_code: int, values) -> bytes:
+    """Encode values into a self-describing chunk blob."""
+    n = len(values)
+    payload = _ENCODERS[codec_id](values, dtype_code)
+    return HEADER.pack(codec_id, dtype_code, n) + payload
+
+
+def decode_blob(blob) -> tuple:
+    """Decode a chunk blob → (values, codec_id, dtype_code)."""
+    mv = memoryview(blob)
+    codec_id, dtype_code, n = HEADER.unpack_from(mv, 0)
+    values = _DECODERS[codec_id](mv[HEADER_LEN:], int(n), dtype_code)
+    return values, codec_id, dtype_code
+
+
+def decode_values(blob):
+    return decode_blob(blob)[0]

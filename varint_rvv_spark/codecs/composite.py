@@ -1,0 +1,200 @@
+"""Composite / container codecs: RAW, ZSTD, DICT, RLE.
+
+SURVEY.md §2.4 codec family.  Varlen (string/binary) heavy lifting is
+done by pyarrow compute kernels (dictionary_encode, not_equal) — C++
+vectorized, zero per-row Python — matching the north_rule's
+"mapInArrow/pandas UDFs over numpy bitwise ops" discipline.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from . import blob as B
+from .varint import varint_decode, varint_encode
+
+_U64 = struct.Struct("<Q")
+
+
+def _frame(b: bytes) -> bytes:
+    return _U64.pack(len(b)) + b
+
+
+def _unframe(mv: memoryview, pos: int) -> tuple:
+    (ln,) = _U64.unpack_from(mv, pos)
+    start = pos + _U64.size
+    return mv[start:start + ln], start + ln
+
+
+# --- varlen ⟷ pyarrow bridges (zero-copy) ---
+
+def varlen_to_pa(va: B.VarlenArray) -> pa.Array:
+    return pa.Array.from_buffers(
+        pa.large_binary(), len(va),
+        [None, pa.py_buffer(np.ascontiguousarray(va.offsets)),
+         pa.py_buffer(np.ascontiguousarray(va.data))])
+
+
+def pa_to_varlen(arr: pa.Array) -> B.VarlenArray:
+    """LargeBinary/Binary/String Arrow array → VarlenArray (handles offsets)."""
+    if pa.types.is_string(arr.type) or pa.types.is_binary(arr.type):
+        arr = arr.cast(pa.large_binary())
+    elif pa.types.is_large_string(arr.type):
+        arr = arr.cast(pa.large_binary())
+    n = len(arr)
+    bufs = arr.buffers()
+    raw_off = np.frombuffer(bufs[1], dtype=np.int64,
+                            count=arr.offset + n + 1)[arr.offset:]
+    base = int(raw_off[0])
+    offsets = (raw_off - base).astype(np.int64)
+    total = int(offsets[-1])
+    if bufs[2] is not None and total:
+        data = np.frombuffer(bufs[2], dtype=np.uint8,
+                             count=base + total)[base:].copy()
+    else:
+        data = np.empty(0, dtype=np.uint8)
+    return B.VarlenArray(offsets=offsets.copy(), data=data)
+
+
+# --- RAW (codec 0): dumb baseline / zstd carrier ---
+# numeric payload: values.tobytes()
+# varlen payload:  offsets int64[n+1] | data
+
+def enc_raw(values, dtype_code: int) -> bytes:
+    if B.is_varlen(dtype_code):
+        return values.offsets.astype("<i8").tobytes() + values.data.tobytes()
+    np_dt = B.NUMERIC_NP[dtype_code]
+    return np.ascontiguousarray(values, dtype=np_dt).tobytes()
+
+
+def dec_raw(payload, n: int, dtype_code: int):
+    if B.is_varlen(dtype_code):
+        offsets = np.frombuffer(payload, dtype="<i8", count=n + 1).astype(np.int64)
+        data = np.frombuffer(payload, dtype=np.uint8,
+                             offset=(n + 1) * 8).copy()
+        return B.VarlenArray(offsets=offsets, data=data)
+    np_dt = B.NUMERIC_NP[dtype_code]
+    return np.frombuffer(payload, dtype=np_dt, count=n).copy()
+
+
+# --- ZSTD (codec 6): wraps an inner blob ---
+# payload = inner_uncompressed_len:u64 | zstd(inner_blob)
+
+def enc_zstd(values, dtype_code: int, inner_codec: int = B.RAW) -> bytes:
+    inner = B.encode_blob(inner_codec, dtype_code, values)
+    comp = pa.compress(inner, codec="zstd", asbytes=True)
+    return _U64.pack(len(inner)) + comp
+
+
+def dec_zstd(payload, n: int, dtype_code: int):
+    mv = memoryview(payload)
+    (raw_len,) = _U64.unpack_from(mv, 0)
+    inner = pa.decompress(mv[_U64.size:], decompressed_size=raw_len,
+                          codec="zstd", asbytes=True)
+    values, _, inner_dt = B.decode_blob(inner)
+    if inner_dt != dtype_code:
+        raise ValueError("zstd inner dtype mismatch")
+    return values
+
+
+# --- DICT (codec 3) ---
+# payload = frame(codes_blob) | frame(values_blob)
+# codes: uint32 positions into the unique-values blob, BITPACKed;
+# numeric uniques are sorted → DELTA_VARINT shines on them.
+
+def dict_parts(values, dtype_code: int):
+    """Return (codes uint32 ndarray, unique values) — vectorized."""
+    if B.is_varlen(dtype_code):
+        arr = varlen_to_pa(values)
+        denc = arr.dictionary_encode()
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.uint32)
+        uniq = pa_to_varlen(denc.dictionary)
+        return codes, uniq
+    uniq, inv = np.unique(np.ascontiguousarray(values), return_inverse=True)
+    return inv.astype(np.uint32), uniq
+
+
+def enc_dict(values, dtype_code: int) -> bytes:
+    codes, uniq = dict_parts(values, dtype_code)
+    codes_blob = B.encode_blob(B.BITPACK, B.DT_U32, codes)
+    if B.is_varlen(dtype_code):
+        values_blob = B.encode_blob(B.ZSTD, dtype_code, uniq)
+    elif B.NUMERIC_NP[dtype_code].kind == "f":
+        values_blob = B.encode_blob(B.RAW, dtype_code, uniq)
+    else:
+        values_blob = B.encode_blob(B.DELTA_VARINT, dtype_code, uniq)
+    return _frame(codes_blob) + _frame(values_blob)
+
+
+def dec_dict(payload, n: int, dtype_code: int):
+    mv = memoryview(payload)
+    codes_blob, pos = _unframe(mv, 0)
+    values_blob, _ = _unframe(mv, pos)
+    codes = B.decode_values(codes_blob).astype(np.int64)
+    uniq = B.decode_values(values_blob)
+    if B.is_varlen(dtype_code):
+        return uniq.take(codes)
+    return uniq[codes]
+
+
+# --- RLE (codec 4) ---
+# payload = frame(run_lengths_blob: VARINT u64) | frame(run_values_blob)
+
+def run_bounds(values, dtype_code: int) -> np.ndarray:
+    """Boolean change[i] = values[i+1] != values[i], vectorized."""
+    n = len(values)
+    if n <= 1:
+        return np.zeros(0, dtype=bool)
+    if B.is_varlen(dtype_code):
+        arr = varlen_to_pa(values)
+        ne = pc.not_equal(arr.slice(1), arr.slice(0, n - 1))
+        return ne.to_numpy(zero_copy_only=False).astype(bool)
+    v = np.ascontiguousarray(values)
+    return v[1:] != v[:-1]
+
+
+def enc_rle(values, dtype_code: int) -> bytes:
+    n = len(values)
+    if n == 0:
+        return _frame(B.encode_blob(B.VARINT, B.DT_U64,
+                                    np.empty(0, dtype=np.uint64))) + \
+            _frame(B.encode_blob(B.RAW, dtype_code, values))
+    change = run_bounds(values, dtype_code)
+    starts = np.concatenate(([0], np.flatnonzero(change) + 1))
+    lens = np.diff(np.concatenate((starts, [n]))).astype(np.uint64)
+    if B.is_varlen(dtype_code):
+        run_vals = values.take(starts)
+        values_blob = B.encode_blob(B.ZSTD, dtype_code, run_vals)
+    else:
+        run_vals = np.ascontiguousarray(values)[starts]
+        if B.NUMERIC_NP[dtype_code].kind == "f":
+            values_blob = B.encode_blob(B.RAW, dtype_code, run_vals)
+        else:
+            values_blob = B.encode_blob(B.BITPACK, dtype_code, run_vals)
+    lens_blob = B.encode_blob(B.VARINT, B.DT_U64, lens)
+    return _frame(lens_blob) + _frame(values_blob)
+
+
+def dec_rle(payload, n: int, dtype_code: int):
+    mv = memoryview(payload)
+    lens_blob, pos = _unframe(mv, 0)
+    values_blob, _ = _unframe(mv, pos)
+    lens = B.decode_values(lens_blob).astype(np.int64)
+    run_vals = B.decode_values(values_blob)
+    if int(lens.sum()) != n:
+        raise ValueError("rle length mismatch")
+    idx = np.repeat(np.arange(lens.shape[0], dtype=np.int64), lens)
+    if B.is_varlen(dtype_code):
+        return run_vals.take(idx)
+    return run_vals[idx]
+
+
+def register_all() -> None:
+    B.register(B.RAW, enc_raw, dec_raw)
+    B.register(B.ZSTD, enc_zstd, dec_zstd)
+    B.register(B.DICT, enc_dict, dec_dict)
+    B.register(B.RLE, enc_rle, dec_rle)

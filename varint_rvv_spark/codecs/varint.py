@@ -1,0 +1,142 @@
+"""LEB128/varint codec — the port-of-semantics core.
+
+Re-expresses the reference kernels as numpy batch ops:
+
+* ``varint_encode``  — vectorized minimal-length LEB128 encoder.
+  Byte layout contract: /root/reference/lib/src/varint_encode.c:4-58
+  (7 payload bits per byte, LSB group first, MSB=1 means "more bytes";
+  canonical = smallest byte count, so our output is byte-for-byte the
+  reference encoder's output for any uint32 input).
+* ``varint_decode_scalar`` — pure-Python golden oracle mirroring the
+  protobuf-derived scalar decoder
+  (/root/reference/lib/src/varint_decode_scalar.c:4-66): accumulate
+  ``result += b << 7k`` then subtract ``0x80 << 7k`` per continuation.
+  Used only in tests; never in the hot path.
+* ``varint_decode`` — the single vectorized decode (the Spark-side
+  analogue of vecshift/maskshift/maskedvbyte,
+  /root/reference/lib/src/varint_decode_vecshift.c:4-121): classify
+  continuation bits, group bytes by value via cumsum over terminators,
+  reassemble 7-bit groups with shifts + reduceat. Includes the shared
+  all-1-byte fast path (vecshift.c:23-32).
+
+Domain: the reference is uint32-only (libvarintrvv.h:13-19).  We
+generalize to uint64 (10-byte LEB128 max) for epoch-µs timestamps and
+int64 keys; for uint32 inputs the byte stream is identical to the
+reference's.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# Thresholds at which a value needs one more LEB128 byte:
+# value < 2**(7*k) fits in k bytes (varint_encode.c:11,16,23,32 for k=1..4).
+_THRESHOLDS = np.array([1 << (7 * k) for k in range(1, 10)], dtype=np.uint64)
+
+
+def varint_byte_lengths(values: np.ndarray) -> np.ndarray:
+    """Minimal LEB128 byte count per value (1..10 for uint64, 1..5 for uint32)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    return (np.searchsorted(_THRESHOLDS, v, side="right") + 1).astype(np.int64)
+
+
+def varint_encode(values: np.ndarray) -> np.ndarray:
+    """Encode an unsigned integer array into one LEB128 byte stream.
+
+    Returns a 1-D uint8 array.  Vectorized: one pass per byte *level*
+    (max 10), each pass a masked scatter — the transpose of the
+    reference's per-value loop (varint_encode.c:4-58).
+    """
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    n = v.shape[0]
+    if n == 0:
+        return np.empty(0, dtype=np.uint8)
+    nbytes = varint_byte_lengths(v)
+    offsets = np.empty(n, dtype=np.int64)
+    offsets[0] = 0
+    np.cumsum(nbytes[:-1], out=offsets[1:])
+    total = int(offsets[-1] + nbytes[-1])
+    out = np.empty(total, dtype=np.uint8)
+    max_len = int(nbytes.max())
+    idx_all = offsets  # byte position of level-0 byte per value
+    for k in range(max_len):
+        mask = nbytes > k
+        vals_k = (v[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)
+        cont = (nbytes[mask] > k + 1).astype(np.uint8) << 7
+        out[idx_all[mask] + k] = vals_k.astype(np.uint8) | cont
+    return out
+
+
+def varint_decode(buf: np.ndarray, out_dtype=np.uint64) -> np.ndarray:
+    """Decode a LEB128 byte stream into an unsigned integer array.
+
+    The vectorized twin of varint_decode_vecshift.c:4-121.  The buffer
+    must end on a varint boundary (same contract as the reference:
+    decoders only ever see buffers our encoder produced).
+    """
+    buf = np.ascontiguousarray(buf, dtype=np.uint8)
+    if buf.size == 0:
+        return np.empty(0, dtype=out_dtype)
+    cont = buf >= 0x80
+    # Fast path: whole window is 1-byte values (vecshift.c:23-32).
+    if not cont.any():
+        return buf.astype(out_dtype)
+    term = ~cont  # terminator byte = last byte of each value
+    ends = np.flatnonzero(term)
+    if ends.size == 0 or ends[-1] != buf.size - 1:
+        raise ValueError("truncated varint stream (no terminator at end)")
+    group_start = np.empty(ends.size, dtype=np.int64)
+    group_start[0] = 0
+    np.add(ends[:-1], 1, out=group_start[1:])
+    # value id per byte = count of terminators strictly before it
+    vid = np.repeat(np.arange(ends.size, dtype=np.int64),
+                    np.diff(np.concatenate(([0], ends + 1))))
+    pos = np.arange(buf.size, dtype=np.int64) - group_start[vid]
+    if (pos > 9).any():
+        raise ValueError("varint longer than 10 bytes (malformed stream)")
+    payload = (buf & np.uint8(0x7F)).astype(np.uint64) << (pos * 7).astype(np.uint64)
+    # groups are contiguous and 7-bit groups have disjoint bits → add == or
+    res = np.add.reduceat(payload, group_start)
+    return res.astype(out_dtype, copy=False)
+
+
+def varint_decode_scalar(buf, out_dtype=np.uint64):
+    """Golden scalar oracle (tests only).
+
+    Faithful re-expression of ReadVarint32FromArray
+    (/root/reference/lib/src/varint_decode_scalar.c:4-53): add each raw
+    byte shifted by 7k, subtract the continuation bit's contribution
+    (0x80 << 7k) when the next byte exists — arithmetically identical
+    to masking with 0x7F, which is what ``varint_decode`` does.
+    """
+    buf = bytes(bytearray(np.asarray(buf, dtype=np.uint8).tobytes()))
+    out = []
+    i = 0
+    n = len(buf)
+    while i < n:
+        result = 0
+        shift = 0
+        while True:
+            b = buf[i]
+            result += b << shift
+            i += 1
+            if b < 0x80:
+                break
+            result -= 0x80 << shift
+            shift += 7
+            if shift > 63:
+                raise ValueError("malformed varint")
+        out.append(result)
+    return np.array(out, dtype=out_dtype)
+
+
+def zigzag_encode(values: np.ndarray) -> np.ndarray:
+    """Map signed int64 → uint64 so small magnitudes get short varints."""
+    v = np.ascontiguousarray(values, dtype=np.int64)
+    return ((v << 1) ^ (v >> 63)).astype(np.uint64)
+
+
+def zigzag_decode(values: np.ndarray) -> np.ndarray:
+    u = np.ascontiguousarray(values, dtype=np.uint64)
+    return ((u >> np.uint64(1)).astype(np.int64)
+            ^ -(u & np.uint64(1)).astype(np.int64))
