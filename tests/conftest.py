@@ -1,0 +1,11 @@
+import pytest
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from varint_rvv_spark.plans.session import get_spark
+
+    s = get_spark(app="varint_rvv_spark-tests", master="local[4]",
+                  shuffle_partitions=4)
+    yield s
+    s.stop()

@@ -1,0 +1,147 @@
+"""Encode pipeline: DataFrame → per-column-chunk encoded blobs + footer.
+
+Spark-first design (SURVEY.md §3.2 trace):
+
+    Scan → assign chunk_id (pure column expr, no shuffle)
+         → [resume: left_anti join against footer — skipped chunks
+            never shuffle or encode]
+         → repartition(chunk_id) → sortWithinPartitions(chunk_id, key)
+         → mapInArrow(encode kernel)  ← the only Python stage
+         → chunks/footer sink
+
+chunk_id is a *data-deterministic* column (`pmod(xxhash64(keys), N)`),
+not a task artifact, so re-runs assign identical chunks regardless of
+input split layout — the foundation of checkpoint-resume and of the
+bit-identity goldens.  Skew: xxhash64 over a high-cardinality key is
+uniform by construction (the explicit salt for host-grouped layouts
+lives in plans/partitioning.py); AQE handles residual size skew.
+
+At 100 TB: N_chunks = total_bytes / target_chunk_bytes (~64 MB), the
+shuffle is one pass hash-partitioned on chunk_id, each task holds only
+its partition's chunks in memory, and there is exactly one
+JVM⟷Python Arrow crossing per partition stream.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame, functions as F
+
+from ..codecs import blob as B
+from ..codecs.select import column_stats, encode_auto, select_codec
+from .arrow_bridge import arrow_to_values, raw_nbytes, values_sha256
+
+CHUNK_ID = "_chunk_id"
+
+CHUNK_SPARK_SCHEMA = (
+    "chunk_id long, column string, codec_id int, codec string, "
+    "dtype_code int, logical_type string, n_values long, raw_bytes long, "
+    "encoded_bytes long, value_sha256 string, validity binary, "
+    "payload binary, stats_json string"
+)
+
+CHUNK_ARROW_SCHEMA = pa.schema([
+    ("chunk_id", pa.int64()), ("column", pa.string()),
+    ("codec_id", pa.int32()), ("codec", pa.string()),
+    ("dtype_code", pa.int32()), ("logical_type", pa.string()),
+    ("n_values", pa.int64()), ("raw_bytes", pa.int64()),
+    ("encoded_bytes", pa.int64()), ("value_sha256", pa.string()),
+    ("validity", pa.binary()), ("payload", pa.binary()),
+    ("stats_json", pa.string()),
+])
+
+FOOTER_COLUMNS = [c for c in CHUNK_SPARK_SCHEMA.split(", ")
+                  if not c.startswith(("payload", "validity"))]
+
+
+def assign_chunks(df: DataFrame, key_cols: list[str],
+                  num_chunks: int) -> DataFrame:
+    """Add the deterministic chunk_id column (no shuffle)."""
+    return df.withColumn(
+        CHUNK_ID, F.pmod(F.xxhash64(*key_cols), F.lit(num_chunks)))
+
+
+def _encode_kernel(columns: list[str], codec_overrides: dict | None):
+    """Build the mapInArrow kernel: partition batches → chunk rows."""
+    overrides = codec_overrides or {}
+
+    def fn(batch_iter):
+        batches = list(batch_iter)
+        if not batches:
+            return
+        tbl = pa.Table.from_batches(batches)
+        if tbl.num_rows == 0:
+            return
+        # chunks were made contiguous by sortWithinPartitions(chunk_id)
+        cid = tbl[CHUNK_ID].combine_chunks().to_numpy()
+        bounds = np.concatenate(
+            ([0], np.flatnonzero(cid[1:] != cid[:-1]) + 1, [len(cid)]))
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            chunk_id = int(cid[s])
+            sub = tbl.slice(s, e - s)
+            rows = {k: [] for k in CHUNK_ARROW_SCHEMA.names}
+            for col in columns:
+                arr = sub[col].combine_chunks()
+                values, dt, logical, validity = arrow_to_values(arr)
+                stats = column_stats(values, dt)
+                forced = overrides.get(col)
+                if forced is not None:
+                    blob = B.encode_blob(forced, dt, values)
+                    codec_id = forced
+                else:
+                    blob, codec_id, stats = encode_auto(values, dt, stats)
+                rows["chunk_id"].append(chunk_id)
+                rows["column"].append(col)
+                rows["codec_id"].append(codec_id)
+                rows["codec"].append(B.CODEC_NAMES[codec_id])
+                rows["dtype_code"].append(dt)
+                rows["logical_type"].append(logical)
+                rows["n_values"].append(len(values))
+                rows["raw_bytes"].append(raw_nbytes(values, dt))
+                rows["encoded_bytes"].append(len(blob))
+                rows["value_sha256"].append(values_sha256(values, dt))
+                rows["validity"].append(validity)
+                rows["payload"].append(blob)
+                rows["stats_json"].append(json.dumps(
+                    {k: v for k, v in stats.items()
+                     if isinstance(v, (int, float))}, sort_keys=True))
+            yield pa.RecordBatch.from_pydict(rows, schema=CHUNK_ARROW_SCHEMA)
+
+    return fn
+
+
+def encode_chunks(df: DataFrame, key_cols: list[str] | None = None,
+                  columns: list[str] | None = None,
+                  num_chunks: int | None = None,
+                  sort_cols: list[str] | None = None,
+                  done_footer: DataFrame | None = None,
+                  codec_overrides: dict | None = None) -> DataFrame:
+    """Encode selected columns into per-chunk blobs.
+
+    done_footer: an existing footer DataFrame — its chunk_ids are
+    skipped *before the shuffle* (left_anti join), which is the
+    checkpoint-resume path: finished chunks cost a scan, not a shuffle
+    or an encode.
+    """
+    columns = columns or df.columns
+    key_cols = key_cols or [columns[0]]
+    if num_chunks is None:
+        num_chunks = max(df.rdd.getNumPartitions(), 1)
+    keyed = assign_chunks(df.select(*columns), key_cols, num_chunks)
+    if done_footer is not None:
+        done = (done_footer.select(F.col("chunk_id").alias(CHUNK_ID))
+                .distinct())
+        keyed = keyed.join(F.broadcast(done), CHUNK_ID, "left_anti")
+    shuffled = keyed.repartition(num_chunks, CHUNK_ID)
+    order = [CHUNK_ID] + (sort_cols or key_cols)
+    shuffled = shuffled.sortWithinPartitions(*order)
+    return shuffled.mapInArrow(
+        _encode_kernel(columns, codec_overrides), CHUNK_SPARK_SCHEMA)
+
+
+def footer_of(chunks: DataFrame) -> DataFrame:
+    """Footer = chunk ledger without payloads (the resume/metrics table)."""
+    return chunks.drop("payload", "validity")
