@@ -1,0 +1,388 @@
+"""Driver-contract queries: engine round-trips + relational shell +
+training-data ops, each with a DuckDB-runnable ANSI-SQL oracle.
+
+Conventions (driver compare is column-name-sorted value-hash):
+* every computed column is aliased identically in Spark and SQL;
+* timestamps are reduced to epoch-µs BIGINT on both sides;
+* doubles are rounded to fixed decimals on both sides.
+
+The engine round-trip queries (`rt_*`) are the correctness core: the
+Spark side pushes the table through encode_chunks → decode_table (the
+full codec stack) before aggregating, while the oracle aggregates the
+raw table directly — equality proves bit-exact reconstruction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .operators.decode import decode_table
+from .operators.encode import encode_chunks
+
+TABLE_SCHEMAS = {
+    "documents": "doc_id long, text string, lang string, source string, "
+                 "n_chars long",
+    "events": "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string",
+    "lineitem": "l_orderkey long, l_partkey long, l_suppkey long, "
+                "l_linenumber int, l_quantity double, "
+                "l_extendedprice double, l_discount double, l_tax double, "
+                "l_returnflag string, l_linestatus string, "
+                "l_shipdate timestamp",
+}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _roundtrip(spark: SparkSession, sf_dir: str, name: str,
+               key: str) -> DataFrame:
+    df = _t(spark, sf_dir, name)
+    chunks = encode_chunks(df, key_cols=[key], num_chunks=8)
+    return decode_table(chunks, df.columns, TABLE_SCHEMAS[name])
+
+
+# ---------- engine round-trip queries ----------
+
+def rt_documents_by_lang(spark, sf_dir):
+    d = _roundtrip(spark, sf_dir, "documents", "doc_id")
+    return (d.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("sum_chars"),
+                 F.sum("doc_id").alias("sum_ids")))
+
+
+RT_DOCUMENTS_SQL = """
+SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+       SUM(doc_id) AS sum_ids
+FROM documents GROUP BY lang
+"""
+
+
+def rt_events_by_type(spark, sf_dir):
+    d = _roundtrip(spark, sf_dir, "events", "event_id")
+    return (d.groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.min(F.unix_micros("ts")).alias("min_ts_us"),
+                 F.max(F.unix_micros("ts")).alias("max_ts_us"),
+                 F.sum("user_id").alias("sum_users"),
+                 F.round(F.sum("value"), 4).alias("sum_value")))
+
+
+RT_EVENTS_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+       MIN(epoch_us(ts)) AS min_ts_us, MAX(epoch_us(ts)) AS max_ts_us,
+       SUM(user_id) AS sum_users, ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
+def rt_lineitem_q1(spark, sf_dir):
+    d = _roundtrip(spark, sf_dir, "lineitem", "l_orderkey")
+    return (d.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("sum_disc_price"),
+                 F.count("*").alias("count_order")))
+
+
+RT_LINEITEM_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------- relational shell (SURVEY.md §2.3 categories) ----------
+
+def tpch_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))
+                               * (1 + F.col("l_tax"))), 2)
+                 .alias("sum_charge"),
+                 F.count("*").alias("count_order")))
+
+
+TPCH_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+         AS sum_charge,
+       COUNT(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def tpch_q3_shipping(spark, sf_dir):
+    """Join chain with broadcast dims + top-k (joins/sorts/limits)."""
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .groupBy("l_orderkey")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+            .limit(10))
+
+
+TPCH_Q3_SQL = """
+SELECT l_orderkey,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def tpch_q6_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter((F.col("l_shipdate") >= F.lit("1994-01-01"))
+                      & (F.col("l_shipdate") < F.lit("1995-01-01"))
+                      & (F.col("l_discount").between(0.05, 0.07))
+                      & (F.col("l_quantity") < 24))
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * F.col("l_discount")), 2).alias("revenue"),
+                 F.count("*").alias("n_rows")))
+
+
+TPCH_Q6_SQL = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+  AND l_shipdate < TIMESTAMP '1995-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def broadcast_join_geo(spark, sf_dir):
+    """nation ⋈ region ⋈ supplier with broadcast dims (projection+join)."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    s = _t(spark, sf_dir, "supplier")
+    return (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy(F.col("r_name").alias("region_name"))
+            .agg(F.count("*").alias("n_suppliers"),
+                 F.round(F.sum("s_acctbal"), 2).alias("sum_acctbal")))
+
+
+BROADCAST_JOIN_GEO_SQL = """
+SELECT r_name AS region_name, COUNT(*) AS n_suppliers,
+       ROUND(SUM(s_acctbal), 2) AS sum_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def window_order_rank(spark, sf_dir):
+    """Window function: top-2 orders per customer by totalprice."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey")
+         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")))
+    return (o.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 2)
+            .filter(F.col("o_custkey") % 100 == 0)
+            .select("o_custkey", "o_orderkey", "rk",
+                    F.round("o_totalprice", 2).alias("totalprice")))
+
+
+WINDOW_ORDER_RANK_SQL = """
+SELECT o_custkey, o_orderkey, rk, ROUND(o_totalprice, 2) AS totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders) t
+WHERE rk <= 2 AND o_custkey % 100 = 0
+"""
+
+
+def setop_orders_no_lineitem(spark, sf_dir):
+    """Set-op/anti-join: order keys with no lineitem rows."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"))
+    return (o.exceptAll(li.distinct()).distinct()
+            .agg(F.count("*").alias("n_orders_without_items"),
+                 F.sum("o_orderkey").alias("sum_keys")))
+
+
+SETOP_SQL = """
+SELECT COUNT(*) AS n_orders_without_items, SUM(o_orderkey) AS sum_keys
+FROM (SELECT DISTINCT o_orderkey FROM orders
+      EXCEPT SELECT DISTINCT l_orderkey FROM lineitem) t
+"""
+
+
+def events_daily(spark, sf_dir):
+    """Date/scalar functions + agg: daily event rollup."""
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy(F.date_trunc("day", "ts").cast("date")
+                      .cast("string").alias("day"))
+            .agg(F.count("*").alias("n_events"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.round(F.avg("value"), 4).alias("avg_value")))
+
+
+EVENTS_DAILY_SQL = """
+SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+       COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
+       ROUND(AVG(value), 4) AS avg_value
+FROM events GROUP BY 1
+"""
+
+
+# ---------- training-data pipeline ops ----------
+
+def dedup_exact_documents(spark, sf_dir):
+    """Exact dedup: md5 content hash, keep lowest doc_id per group."""
+    d = _t(spark, sf_dir, "documents")
+    return (d.withColumn("content_hash", F.md5(F.encode("text", "utf-8")))
+            .groupBy("content_hash")
+            .agg(F.min("doc_id").alias("keep_id"),
+                 F.count("*").alias("n_copies"))
+            .agg(F.count("*").alias("n_unique"),
+                 F.sum("n_copies").alias("n_total"),
+                 F.sum(F.when(F.col("n_copies") > 1, 1).otherwise(0))
+                 .alias("n_dup_groups"),
+                 F.sum("keep_id").alias("sum_keep_ids")))
+
+
+DEDUP_EXACT_SQL = """
+SELECT COUNT(*) AS n_unique, SUM(n_copies) AS n_total,
+       SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS n_dup_groups,
+       SUM(keep_id) AS sum_keep_ids
+FROM (SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+             COUNT(*) AS n_copies
+      FROM documents GROUP BY md5(text)) g
+"""
+
+
+def text_stats_documents(spark, sf_dir):
+    """Quality-score features: tokens, chars, uppercase/digit ratios."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim("text"), r"\s+"))
+    return (d.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.length("text")).alias("sum_chars"),
+                 F.sum(toks).alias("sum_tokens"),
+                 F.round(F.avg(F.length(F.regexp_replace("text", r"[^0-9]", ""))
+                               / F.greatest(F.length("text"), F.lit(1))), 6)
+                 .alias("digit_ratio")))
+
+
+TEXT_STATS_SQL = """
+SELECT source, COUNT(*) AS n_docs, SUM(LENGTH(text)) AS sum_chars,
+       SUM(LEN(regexp_split_to_array(TRIM(text), '\\s+'))) AS sum_tokens,
+       ROUND(AVG(CAST(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                 / GREATEST(LENGTH(text), 1)), 6) AS digit_ratio
+FROM documents GROUP BY source
+"""
+
+
+def embedding_topk_cosine(spark, sf_dir):
+    """Brute-force cosine top-k vs the centroid-free probe vec_id=0.
+
+    JVM-side only: F.aggregate/zip_with dot products (no UDF).
+    """
+    e = _t(spark, sf_dir, "embeddings")
+    probe = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("probe"))
+    joined = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(probe))
+    dot = F.aggregate(F.zip_with("embedding", "probe",
+                                 lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    cos = dot / (norm("embedding") * norm("probe"))
+    return (joined.select("vec_id", F.round(cos, 5).alias("cosine"))
+            .orderBy(F.desc("cosine"), F.asc("vec_id")).limit(20))
+
+
+EMBEDDING_TOPK_SQL = """
+WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       ROUND(list_dot_product(embedding, p)
+             / (sqrt(list_dot_product(embedding, embedding))
+                * sqrt(list_dot_product(p, p))), 5) AS cosine
+FROM embeddings, probe WHERE vec_id <> 0
+ORDER BY cosine DESC, vec_id ASC LIMIT 20
+"""
+
+
+# ---------- engine-introspection (rows-only checks, no SQL oracle) ----------
+
+def codec_footer_documents(spark, sf_dir):
+    """Per-column codec choices + sizes for the documents table."""
+    d = _t(spark, sf_dir, "documents")
+    chunks = encode_chunks(d, key_cols=["doc_id"], num_chunks=8)
+    return (chunks.groupBy("column", "codec")
+            .agg(F.countDistinct("chunk_id").alias("n_chunks"),
+                 F.sum("n_values").alias("n_values"),
+                 F.sum("raw_bytes").alias("raw_bytes"),
+                 F.sum("encoded_bytes").alias("encoded_bytes"))
+            .orderBy("column"))
+
+
+QUERIES = {
+    "rt_documents_by_lang": rt_documents_by_lang,
+    "rt_events_by_type": rt_events_by_type,
+    "rt_lineitem_q1": rt_lineitem_q1,
+    "tpch_q1": tpch_q1,
+    "tpch_q3_shipping": tpch_q3_shipping,
+    "tpch_q6_revenue": tpch_q6_revenue,
+    "broadcast_join_geo": broadcast_join_geo,
+    "window_order_rank": window_order_rank,
+    "setop_orders_no_lineitem": setop_orders_no_lineitem,
+    "events_daily": events_daily,
+    "dedup_exact_documents": dedup_exact_documents,
+    "text_stats_documents": text_stats_documents,
+    "embedding_topk_cosine": embedding_topk_cosine,
+    "codec_footer_documents": codec_footer_documents,
+}
+
+ORACLES = {
+    "rt_documents_by_lang": RT_DOCUMENTS_SQL,
+    "rt_events_by_type": RT_EVENTS_SQL,
+    "rt_lineitem_q1": RT_LINEITEM_Q1_SQL,
+    "tpch_q1": TPCH_Q1_SQL,
+    "tpch_q3_shipping": TPCH_Q3_SQL,
+    "tpch_q6_revenue": TPCH_Q6_SQL,
+    "broadcast_join_geo": BROADCAST_JOIN_GEO_SQL,
+    "window_order_rank": WINDOW_ORDER_RANK_SQL,
+    "setop_orders_no_lineitem": SETOP_SQL,
+    "events_daily": EVENTS_DAILY_SQL,
+    "dedup_exact_documents": DEDUP_EXACT_SQL,
+    "text_stats_documents": TEXT_STATS_SQL,
+    "embedding_topk_cosine": EMBEDDING_TOPK_SQL,
+    # codec_footer_documents: engine introspection — rows-only check
+}
