@@ -1,0 +1,151 @@
+"""Per-round benchmark: headline queries + encode/decode throughput.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "encode_gbps": ..., "decode_gbps": ..., "bytes_per_doc": ...}
+
+The encode/decode passes run over the deterministic synthetic pages
+table (BASELINE.json input_hint shape) — the same job used for the
+two-parallelism scaling evidence in BENCH/BASELINE.md (run via
+bench/run_scaling.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = str(Path(__file__).resolve().parent)
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_PAGES = int(os.environ.get("SPARK_GRAFT_PAGES", "40000"))
+
+HEADLINE = ["tpch_q1", "tpch_q3_shipping", "tpch_q6_revenue",
+            "rt_lineitem_q1", "rt_documents_by_lang",
+            "dedup_exact_documents", "embedding_topk_cosine",
+            "window_order_rank", "events_daily"]
+
+
+def pages_parquet(spark, n_pages: int) -> str:
+    """Materialize the deterministic pages table once as local parquet."""
+    import os as _os
+
+    from varint_rvv_spark.sources.pages import pages_df
+
+    path = f"/tmp/vrs_bench_pages_{n_pages}"
+    if not _os.path.exists(f"{path}/_SUCCESS"):
+        # partition count fixed by n (not CPUS) so every parallelism
+        # level scans byte-identical files
+        pages_df(spark, n_pages, seed=42,
+                 partitions=max(16, n_pages // 8192)) \
+            .write.mode("overwrite").parquet(path)
+    return path
+
+
+def bench_pages(spark) -> dict:
+    """Encode+decode throughput over the synthetic pages table.
+
+    Scan(parquet) → encode → footer agg, then decode+verify from cached
+    chunks.  One untimed warm-up pass first (JIT, python-worker spin-up,
+    allocator warm-up) — steady state is what a long 100 TB job sees.
+    """
+    from pyspark.sql import functions as F
+
+    from varint_rvv_spark.operators.decode import verify_roundtrip
+    from varint_rvv_spark.operators.encode import (
+        encode_chunks,
+        encode_chunks_scan,
+    )
+    num_chunks = max(CPUS * 2, N_PAGES * 13000 // (32 << 20))
+    pages = spark.read.parquet(pages_parquet(spark, N_PAGES))
+
+    def encode_pass():
+        """Streaming-pass encode (scan → kernel, no shuffle)."""
+        ch = encode_chunks_scan(pages)
+        ch.cache()
+        agg = ch.agg(F.sum("raw_bytes").alias("raw"),
+                     F.sum("encoded_bytes").alias("enc")).collect()[0]
+        return ch, agg
+
+    warm, agg = encode_pass()          # warm-up encode
+    verify_roundtrip(warm)             # warm-up decode
+    warm.unpersist()
+
+    t0 = time.perf_counter()
+    chunks, agg = encode_pass()
+    t_encode = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    n, bad = verify_roundtrip(chunks)
+    t_decode = time.perf_counter() - t0
+
+    # clustered (hash/shuffle) encode for comparison — the path used
+    # when explicit co-clustering or salting is worth one shuffle
+    t0 = time.perf_counter()
+    encode_chunks(pages, key_cols=["url"], num_chunks=num_chunks) \
+        .agg(F.sum("encoded_bytes")).collect()
+    t_encode_shuffle = time.perf_counter() - t0
+
+    raw = int(agg["raw"])
+    enc = int(agg["enc"])
+    chunks.unpersist()
+    if bad:
+        raise AssertionError(f"decode mismatch on {bad}/{n} chunks")
+    return {
+        "pages": N_PAGES, "raw_bytes": raw, "encoded_bytes": enc,
+        "num_chunks": num_chunks,
+        "encode_sec": round(t_encode, 3), "decode_sec": round(t_decode, 3),
+        "encode_shuffle_sec": round(t_encode_shuffle, 3),
+        "encode_shuffle_gbps": round(raw / t_encode_shuffle / 1e9, 3),
+        "encode_gbps": round(raw / t_encode / 1e9, 3),
+        "decode_gbps": round(raw / t_decode / 1e9, 3),
+        "bytes_per_doc": round(enc / N_PAGES, 1),
+        "compression_ratio": round(raw / enc, 3),
+    }
+
+
+def main() -> None:
+    from varint_rvv_spark.plans.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark(app="varint_rvv_spark-bench",
+                      master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry_mod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = qs[name](spark, SF_DIR)
+        df.collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    pg = bench_pages(spark)
+    timings["pages_encode"] = pg["encode_sec"]
+    timings["pages_decode"] = pg["decode_sec"]
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    out = {
+        "metric": "headline suite wall-clock (queries + pages encode/decode)",
+        "value": total, "unit": "sec", "queries": timings, "sf": sf,
+        "cpus": CPUS,
+        "encode_gbps": pg["encode_gbps"], "decode_gbps": pg["decode_gbps"],
+        "bytes_per_doc": pg["bytes_per_doc"],
+        "compression_ratio": pg["compression_ratio"],
+        "pages": pg["pages"],
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

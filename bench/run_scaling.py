@@ -1,0 +1,124 @@
+"""Two-parallelism scaling evidence (north_rule N → 4N executors).
+
+Sandbox substitution per driver instruction: run the identical
+encode+decode job over the same deterministic pages input at local[N]
+and local[4N] in separate processes, report throughput at both and
+scaling efficiency = (thr_4N / thr_N) / 4.
+
+N defaults to 2 (→ 4N = 8): a process-parallel microbenchmark on this
+box (see BENCH/BASELINE.md) shows perfect scaling to 8 concurrent
+workers and hard host-level throttling beyond ~8-12 — the "32 cores"
+are oversubscribed vCPUs.  N=2→8 measures the engine's scaling;
+N=8→32 would measure the host's throttle.  Both are reported.
+
+Usage: python bench/run_scaling.py [n_pages] [N]  → BENCH/BASELINE.md
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+CHILD = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from varint_rvv_spark.plans.session import get_spark
+import bench
+bench.CPUS = {cpus}
+bench.N_PAGES = {pages}
+spark = get_spark(app="scaling-{cpus}", master="local[{cpus}]",
+                  shuffle_partitions={cpus})
+spark.sparkContext.setLogLevel("ERROR")
+print("RESULT " + json.dumps(bench.bench_pages(spark)))
+spark.stop()
+"""
+
+
+def run_at(cpus: int, pages: int) -> dict:
+    code = CHILD.format(repo=str(REPO), cpus=cpus, pages=pages)
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, env=env, cwd=str(REPO), timeout=1800)
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[7:])
+    raise RuntimeError(f"child failed:\n{out.stdout[-2000:]}\n"
+                       f"{out.stderr[-3000:]}")
+
+
+def main() -> None:
+    pages = int(sys.argv[1]) if len(sys.argv) > 1 else 40000
+    n_low = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    n_high = n_low * 4
+    res = {}
+    for cpus in (n_low, n_high, 32):
+        res[cpus] = run_at(cpus, pages)
+        print(f"local[{cpus}]: encode {res[cpus]['encode_gbps']} GB/s, "
+              f"decode {res[cpus]['decode_gbps']} GB/s")
+    lo, hi = res[n_low], res[n_high]
+    eff_enc = (hi["encode_gbps"] / lo["encode_gbps"]) / 4.0
+    eff_dec = (hi["decode_gbps"] / lo["decode_gbps"]) / 4.0
+    summary = {
+        "pages": pages, "n_low": n_low, "n_high": n_high,
+        "results": {str(k): v for k, v in res.items()},
+        "scaling_efficiency_encode": round(eff_enc, 3),
+        "scaling_efficiency_decode": round(eff_dec, 3),
+    }
+    print(json.dumps(summary))
+    md = REPO / "BENCH" / "BASELINE.md"
+    md.parent.mkdir(exist_ok=True)
+    rows = "\n".join(
+        f"| local[{c}] | {r['raw_bytes']:,} | {r['encoded_bytes']:,} "
+        f"| {r['compression_ratio']}x | {r['encode_gbps']} "
+        f"| {r['decode_gbps']} | {r['encode_shuffle_gbps']} |"
+        for c, r in res.items())
+    md.write_text(f"""# BENCH/BASELINE — engine measured numbers
+
+Job: synthetic pages table ({pages} rows, deterministic seed 42,
+schema per BASELINE.json input_hint), parquet scan → streaming-pass
+encode (encode_chunks_scan, zero shuffle, auto codec selection) →
+full decode + per-chunk sha256 bit-identity verify.  Identical input
+for all runs; separate JVM/process per parallelism level; one untimed
+warm-up pass each.  Sandbox substitution for the north_rule's N→4N
+executor criterion (per driver instruction): local[{n_low}] vs
+local[{n_high}].
+
+| config | raw bytes | encoded bytes | ratio | encode GB/s | decode GB/s | encode(shuffle) GB/s |
+|---|---|---|---|---|---|---|
+{rows}
+
+**Scaling efficiency (local[{n_low}]→local[{n_high}], ideal 1.0):**
+encode **{eff_enc:.3f}**, decode **{eff_dec:.3f}**
+(target ≥ 0.8 per BASELINE.json north_rule).
+
+## Why N={n_low} (and why local[32] is also shown)
+
+The box advertises 32 CPUs but is host-throttled: a Spark-free
+process-parallel numpy microbenchmark (identical per-process work)
+measures per-process wall time **constant from 1→8 processes** and
+**~3× degraded at 32 processes** — i.e. the host provides ~8-12 cores
+of real throughput and oversubscribes beyond that.  local[{n_low}]→
+local[{n_high}] therefore measures the *engine's* scaling behavior;
+8→32 on this box measures the host's throttle (the local[32] row is
+included for transparency).  On a real cluster the N→4N criterion
+applies at the executor level where each executor owns its cores.
+
+Encoded bytes/doc: {hi['bytes_per_doc']} at {hi['compression_ratio']}x
+compression (compressed size ≤ the reference varint output is enforced
+per integer chunk by codec auto-selection; tests/test_codecs.py).
+
+Reference single-core decode peak for comparison: 309-466 MiB/s
+(vecshift, /root/reference/README.md:101-104, RISC-V RVV hardware);
+our decode pass at local[{n_high}] = {hi['decode_gbps']} GB/s
+aggregate over the full codec family including zstd text columns.
+""")
+    print(f"wrote {md}")
+
+
+if __name__ == "__main__":
+    main()

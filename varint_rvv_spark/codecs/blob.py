@@ -110,20 +110,18 @@ class VarlenArray:
         return cls(offsets=offsets, data=data)
 
     def take(self, indices: np.ndarray) -> "VarlenArray":
-        """Gather rows by index — vectorized (no per-row Python)."""
-        indices = np.asarray(indices, dtype=np.int64)
-        starts = self.offsets[indices]
-        lens = self.offsets[indices + 1] - starts
-        out_offsets = np.zeros(indices.shape[0] + 1, dtype=np.int64)
-        np.cumsum(lens, out=out_offsets[1:])
-        total = int(out_offsets[-1])
-        out = np.empty(total, dtype=np.uint8)
-        if total:
-            # flat src index = start[row] + offset-within-row
-            row_id = np.repeat(np.arange(indices.shape[0]), lens)
-            within = np.arange(total, dtype=np.int64) - out_offsets[row_id]
-            out[:] = self.data[starts[row_id] + within]
-        return VarlenArray(offsets=out_offsets, data=out)
+        """Gather rows by index via pyarrow's C++ take (vectorized)."""
+        import pyarrow as pa
+
+        indices = np.ascontiguousarray(indices, dtype=np.int64)
+        arr = pa.Array.from_buffers(
+            pa.large_binary(), len(self),
+            [None, pa.py_buffer(np.ascontiguousarray(self.offsets)),
+             pa.py_buffer(np.ascontiguousarray(self.data))])
+        taken = arr.take(pa.array(indices))
+        from .composite import pa_to_varlen
+
+        return pa_to_varlen(taken)
 
 
 # --- registry ---

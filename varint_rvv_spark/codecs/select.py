@@ -23,6 +23,8 @@ from . import numeric as N
 from .varint import varint_byte_lengths, zigzag_encode
 
 SAMPLE = 4096
+SAMPLE_VARLEN = 384  # varlen rows carry whole documents — keep trials cheap
+PREFIX = 2048
 
 
 def _sample_idx(n: int, k: int = SAMPLE) -> np.ndarray:
@@ -30,6 +32,10 @@ def _sample_idx(n: int, k: int = SAMPLE) -> np.ndarray:
         return np.arange(n, dtype=np.int64)
     step = n // k
     return np.arange(0, step * k, step, dtype=np.int64)
+
+
+def _sample_k(dtype_code: int) -> int:
+    return SAMPLE_VARLEN if B.is_varlen(dtype_code) else SAMPLE
 
 
 def _take(values, dtype_code: int, idx: np.ndarray):
@@ -46,7 +52,7 @@ def column_stats(values, dtype_code: int) -> dict:
     stats = {"n": n}
     if n == 0:
         return stats
-    idx = _sample_idx(n)
+    idx = _sample_idx(n, _sample_k(dtype_code))
     sample = _take(values, dtype_code, idx)
     if B.is_varlen(dtype_code):
         from .composite import varlen_to_pa
@@ -60,8 +66,8 @@ def column_stats(values, dtype_code: int) -> dict:
         data = sample.view(np.uint8)[: 1 << 16]
     # contiguous-prefix runs (sampling with stride destroys runs, so
     # measure runs on a contiguous prefix instead)
-    prefix = values if n <= SAMPLE else _take(
-        values, dtype_code, np.arange(min(n, SAMPLE), dtype=np.int64))
+    prefix = values if n <= PREFIX else _take(
+        values, dtype_code, np.arange(PREFIX, dtype=np.int64))
     nruns = int(run_bounds(prefix, dtype_code).sum()) + 1
     stats["card_sample"] = card
     stats["card_ratio"] = card / len(sample)
@@ -108,7 +114,7 @@ def select_codec(values, dtype_code: int, stats: dict | None = None) -> int:
     if n == 0:
         return B.RAW
     stats = stats or column_stats(values, dtype_code)
-    idx = _sample_idx(n)
+    idx = _sample_idx(n, _sample_k(dtype_code))
     sample = _take(values, dtype_code, idx)
     scale = n / len(sample)
     cand: dict[int, float] = {}
@@ -121,7 +127,7 @@ def select_codec(values, dtype_code: int, stats: dict | None = None) -> int:
         if stats["mean_run"] >= 2.0:
             # RLE must see contiguous data — trial on the prefix
             prefix = _take(values, dtype_code,
-                           np.arange(min(n, SAMPLE), dtype=np.int64))
+                           np.arange(min(n, PREFIX), dtype=np.int64))
             cand[B.RLE] = _trial_size(B.RLE, prefix, dtype_code,
                                       n / len(prefix))
         if B.FSST in B.CODEC_NAMES and _registered(B.FSST):
@@ -139,7 +145,7 @@ def select_codec(values, dtype_code: int, stats: dict | None = None) -> int:
             cand[B.DICT] = _trial_size(B.DICT, sample, dtype_code, scale)
         if stats["mean_run"] >= 2.0:
             prefix = _take(values, dtype_code,
-                           np.arange(min(n, SAMPLE), dtype=np.int64))
+                           np.arange(min(n, PREFIX), dtype=np.int64))
             cand[B.RLE] = _trial_size(B.RLE, prefix, dtype_code,
                                       n / len(prefix))
     return min(cand, key=cand.get)

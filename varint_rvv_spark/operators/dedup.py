@@ -1,0 +1,168 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+All implementations are pure DataFrame/SQL-function compositions
+(JVM-side, no Python UDFs), deterministic, and oracle-checkable: hash
+primitives are md5 (identical output in Spark and DuckDB).
+
+Scale notes (100 TB):
+* exact dedup — one shuffle on the content hash; AQE handles skew from
+  boilerplate duplicates.
+* minhash LSH — shingle explode is map-side; the only shuffle is the
+  groupBy(doc) for signatures and the band self-join, which is an
+  equi-join on (band_id, band_hash) buckets — bounded fan-out, no
+  full cross product.
+* simhash — bit arithmetic on a 64-bit fingerprint, one shuffle on the
+  band key per probe table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep lowest id per exact content group; returns survivors."""
+    h = F.md5(F.encode(F.col(text_col), "utf-8")).alias("content_hash")
+    wins = (df.select(F.col(id_col), h)
+            .groupBy("content_hash")
+            .agg(F.min(id_col).alias(id_col)))
+    return df.join(wins, [id_col], "left_semi")
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str,
+                  k: int = 3) -> DataFrame:
+    """Distinct word k-shingles per document (vectorized explode)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    out = df.select(F.col(id_col), F.posexplode(toks).alias("pos", "tok"))
+    parts = [F.lead("tok", i).over(
+        __import__("pyspark.sql.window", fromlist=["Window"])
+        .Window.partitionBy(id_col).orderBy("pos")) for i in range(1, k)]
+    shingle = F.concat_ws(" ", F.col("tok"), *parts)
+    return (out.select(id_col, shingle.alias("shingle"))
+            .filter(F.col("shingle").isNotNull()
+                    & (F.size(F.split(F.col("shingle"), " ")) == k))
+            .distinct())
+
+
+def minhash_signatures(shingles: DataFrame, id_col: str,
+                       n_hashes: int = 16) -> DataFrame:
+    """n_hashes min-hashes per doc: min(md5(shingle || ':' || i))."""
+    sigs = [F.min(F.md5(F.concat(F.col("shingle"), F.lit(f":{i}"))))
+            .alias(f"mh{i}") for i in range(n_hashes)]
+    return shingles.groupBy(id_col).agg(*sigs)
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str,
+                        n_hashes: int = 16, bands: int = 4) -> DataFrame:
+    """Docs sharing ≥1 LSH band bucket → candidate near-dup pairs."""
+    rows = n_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows + r}") for r in range(rows)]
+        band_cols.append(F.struct(F.lit(b).alias("band_id"),
+                                  F.md5(F.concat_ws("|", *cols))
+                                  .alias("band_hash")))
+    banded = (signatures
+              .select(F.col(id_col), F.explode(F.array(*band_cols))
+                      .alias("band"))
+              .select(id_col, "band.band_id", "band.band_hash"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (a.join(b, ["band_id", "band_hash"])
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"))
+            .distinct())
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
+                      k: int = 3, n_hashes: int = 16,
+                      bands: int = 4) -> DataFrame:
+    sh = word_shingles(df, id_col, text_col, k)
+    sig = minhash_signatures(sh, id_col, n_hashes)
+    return lsh_candidate_pairs(sig, id_col, n_hashes, bands)
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        k: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Exact word-k-gram Jaccard similarity for all intersecting pairs.
+
+    Scale path: the self-join is on the shingle key (docs sharing no
+    shingle never meet); pair at your own risk on boilerplate-heavy
+    corpora — pre-filter with LSH above.
+    """
+    sh = word_shingles(df, id_col, text_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (a.join(b, "shingle")
+             .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+             .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                      F.col(f"b.{id_col}").alias("id_b"))
+             .agg(F.count("*").alias("n_inter")))
+    sa = sizes.select(F.col(id_col).alias("id_a"),
+                      F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"),
+                      F.col("n_sh").alias("n_b"))
+    return (inter.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("jaccard",
+                        F.round(F.col("n_inter")
+                                / (F.col("n_a") + F.col("n_b")
+                                   - F.col("n_inter")), 5))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash from token md5s — pure bit arithmetic, no UDF.
+
+    Token hash = first 16 hex chars of md5(token) as a 64-bit int;
+    fingerprint bit b = sign of Σ_tokens (±1 depending on hash bit b).
+    """
+    toks = (df.select(F.col(id_col),
+                      F.explode(F.split(F.trim(F.col(text_col)), r"\s+"))
+                      .alias("tok"))
+            .filter(F.col("tok") != ""))
+    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    toks = toks.select(id_col, h.alias("h"))
+    # per-bit balance: sum(+1/-1) over tokens (60 bits from 15 hex chars)
+    bit_sums = [F.sum(F.when(F.shiftright(F.col("h"), b)
+                             .bitwiseAND(F.lit(1)) == 1, 1)
+                      .otherwise(-1)).alias(f"s{b}") for b in range(60)]
+    agg = toks.groupBy(id_col).agg(*bit_sums)
+    fp = None
+    for b in range(60):
+        bit = F.when(F.col(f"s{b}") > 0,
+                     F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        fp = term if fp is None else fp.bitwiseXOR(term)
+    return agg.select(F.col(id_col), fp.alias("simhash"))
+
+
+def embedding_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            threshold: float = 0.95,
+                            sample_mod: int | None = None) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (brute-force baseline).
+
+    JVM-side zip_with/aggregate dot products.  Scale path: replace the
+    crossJoin with the sign-LSH bucketing in similarity.py.
+    """
+    e = df.select(F.col(id_col), F.col(vec_col))
+    if sample_mod:
+        e = e.filter(F.col(id_col) % sample_mod == 0)
+    norm = F.sqrt(F.aggregate(F.transform(F.col(vec_col), lambda x: x * x),
+                              F.lit(0.0), lambda a, x: a + x))
+    e = e.withColumn("_norm", norm)
+    a = e.alias("a")
+    b = e.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"),
+                   lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x)
+    cos = dot / (F.col("a._norm") * F.col("b._norm"))
+    return (a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    F.round(cos, 5).alias("cosine"))
+            .filter(F.col("cosine") >= threshold))

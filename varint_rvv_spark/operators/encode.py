@@ -145,3 +145,93 @@ def encode_chunks(df: DataFrame, key_cols: list[str] | None = None,
 def footer_of(chunks: DataFrame) -> DataFrame:
     """Footer = chunk ledger without payloads (the resume/metrics table)."""
     return chunks.drop("payload", "validity")
+
+
+def _scan_kernel(columns: list[str], rows_per_chunk: int,
+                 done_b, codec_overrides: dict | None):
+    """Kernel for shuffle-free encode: chunk = consecutive scan rows."""
+    overrides = codec_overrides or {}
+
+    def fn(batch_iter):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        done = done_b.value if done_b is not None else frozenset()
+        buf: list[pa.RecordBatch] = []
+        buffered = 0
+        ordinal = 0
+
+        def flush(buf, ordinal):
+            tbl = pa.Table.from_batches(buf)
+            chunk_id = pid * 1_000_000 + ordinal
+            if chunk_id in done or tbl.num_rows == 0:
+                return None
+            rows = {k: [] for k in CHUNK_ARROW_SCHEMA.names}
+            for col in columns:
+                arr = tbl[col].combine_chunks()
+                values, dt, logical, validity = arrow_to_values(arr)
+                stats = column_stats(values, dt)
+                forced = overrides.get(col)
+                if forced is not None:
+                    blob, codec_id = B.encode_blob(forced, dt, values), forced
+                else:
+                    blob, codec_id, stats = encode_auto(values, dt, stats)
+                rows["chunk_id"].append(chunk_id)
+                rows["column"].append(col)
+                rows["codec_id"].append(codec_id)
+                rows["codec"].append(B.CODEC_NAMES[codec_id])
+                rows["dtype_code"].append(dt)
+                rows["logical_type"].append(logical)
+                rows["n_values"].append(len(values))
+                rows["raw_bytes"].append(raw_nbytes(values, dt))
+                rows["encoded_bytes"].append(len(blob))
+                rows["value_sha256"].append(values_sha256(values, dt))
+                rows["validity"].append(validity)
+                rows["payload"].append(blob)
+                rows["stats_json"].append(json.dumps(
+                    {k: v for k, v in stats.items()
+                     if isinstance(v, (int, float))}, sort_keys=True))
+            return pa.RecordBatch.from_pydict(rows, schema=CHUNK_ARROW_SCHEMA)
+
+        for batch in batch_iter:
+            buf.append(batch)
+            buffered += batch.num_rows
+            if buffered >= rows_per_chunk:
+                out = flush(buf, ordinal)
+                if out is not None:
+                    yield out
+                buf, buffered = [], 0
+                ordinal += 1
+        if buf:
+            out = flush(buf, ordinal)
+            if out is not None:
+                yield out
+
+    return fn
+
+
+def encode_chunks_scan(df: DataFrame, columns: list[str] | None = None,
+                       rows_per_chunk: int = 65536,
+                       done_chunk_ids=None,
+                       codec_overrides: dict | None = None) -> DataFrame:
+    """Shuffle-free encode: Scan → mapInArrow, chunk = consecutive rows.
+
+    The streaming-pass twin of the reference encoder (one pass, no data
+    movement) — use when the input's natural clustering is already good
+    (or irrelevant) and the 2× network/disk cost of a shuffle is not
+    worth it.  chunk_id = (scan partition, ordinal): deterministic for
+    a fixed file layout + spark.sql.files.maxPartitionBytes; resume
+    passes the footer's chunk_ids as `done_chunk_ids` (an iterable) and
+    finished chunks skip the encode CPU inside the kernel.
+
+    For explicit clustering / salting / skew defuse, use encode_chunks
+    (hash mode) instead.
+    """
+    columns = columns or df.columns
+    done_b = None
+    if done_chunk_ids is not None:
+        sc = df.sparkSession.sparkContext
+        done_b = sc.broadcast(frozenset(int(x) for x in done_chunk_ids))
+    return df.select(*columns).mapInArrow(
+        _scan_kernel(columns, rows_per_chunk, done_b, codec_overrides),
+        CHUNK_SPARK_SCHEMA)

@@ -1,0 +1,101 @@
+"""Text-analysis operators for training-data pipelines.
+
+Pure JVM-side column expressions (regex + string built-ins): language
+ID by stopword-marker scoring, quality-score features, token counting
+(whitespace and BPE-ish regex), and document fingerprinting.  All
+deterministic and DuckDB-oracle-expressible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# marker words per language — tiny stopword profiles for the n-gram/
+# stopword heuristic; chosen to be ASCII-regex-safe in both engines
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "ist", "nicht"],
+    "fr": ["le", "la", "les", "est", "une"],
+    "es": ["el", "los", "que", "una", "por"],
+    "pt": ["o", "os", "uma", "não", "para"],
+    "ru": ["и", "в", "не", "это", "что"],
+}
+
+# BPE-ish token regex: words, numbers, or single non-space symbols
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _marker_hits(col, words) -> F.Column:
+    pat = r"(?i)\b(" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(1)))
+
+
+def lang_id(df: DataFrame, text_col: str = "text",
+            out_col: str = "lang_pred") -> DataFrame:
+    """Heuristic language ID: argmax of per-language marker-word hits.
+
+    Ties / zero hits → 'other'.  greatest()+chained when keeps it all
+    JVM-side; a production profile would use char-n-gram models via a
+    pandas UDF, but the dispatch pattern is identical.
+    """
+    hits = {lang: _marker_hits(F.col(text_col), words)
+            for lang, words in LANG_MARKERS.items()}
+    df2 = df
+    for lang, h in hits.items():
+        df2 = df2.withColumn(f"_h_{lang}", h)
+    best = F.greatest(*[F.col(f"_h_{lang}") for lang in LANG_MARKERS])
+    pred = F.when(best <= 0, F.lit("other"))
+    for lang in LANG_MARKERS:  # first-wins on ties, fixed dict order
+        pred = pred.when(F.col(f"_h_{lang}") == best, F.lit(lang))
+    df2 = df2.withColumn(out_col, pred.otherwise(F.lit("other")))
+    return df2.drop(*[f"_h_{lang}" for lang in LANG_MARKERS])
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-score features: lengths, token stats, symbol ratios."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    toks = F.split(F.trim(t), r"\s+")
+    n_tokens = F.when(F.length(F.trim(t)) == 0, 0).otherwise(F.size(toks))
+    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-zÀ-ÿа-яА-Я]", ""))
+    n_digit = F.length(F.regexp_replace(t, r"[^0-9]", ""))
+    n_punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", ""))
+    safe = F.greatest(n_chars, F.lit(1))
+    return (df
+            .withColumn("n_chars_txt", n_chars)
+            .withColumn("n_tokens", n_tokens)
+            .withColumn("avg_token_len",
+                        F.round(n_chars / F.greatest(n_tokens, F.lit(1)), 4))
+            .withColumn("alpha_ratio", F.round(n_alpha / safe, 4))
+            .withColumn("digit_ratio", F.round(n_digit / safe, 4))
+            .withColumn("punct_ratio", F.round(n_punct / safe, 4)))
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scalar [0,1] quality score from the features (simple web-text
+    heuristic: long-enough, mostly alphabetic, sane token lengths)."""
+    df2 = quality_features(df, text_col)
+    len_ok = F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0))
+    alpha_ok = F.col("alpha_ratio")
+    tok_ok = F.when((F.col("avg_token_len") >= 3)
+                    & (F.col("avg_token_len") <= 12), 1.0).otherwise(0.5)
+    return df2.withColumn(
+        "quality", F.round(0.4 * len_ok + 0.4 * alpha_ok + 0.2 * tok_ok, 4))
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace and BPE-ish-regex token counts (both JVM-side)."""
+    t = F.col(text_col)
+    ws = F.when(F.length(F.trim(t)) == 0, 0).otherwise(
+        F.size(F.split(F.trim(t), r"\s+")))
+    bpe = F.size(F.regexp_extract_all(t, F.lit(BPE_TOKEN_RE), F.lit(0)))
+    return (df.withColumn("ws_tokens", ws)
+            .withColumn("bpe_tokens", bpe))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text",
+                out_col: str = "fingerprint") -> DataFrame:
+    """Normalized content fingerprint: md5 of lower+whitespace-collapsed
+    text — the cross-run document identity key."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.withColumn(out_col, F.md5(F.encode(norm, "utf-8")))

@@ -57,6 +57,10 @@ def get_spark(app: str = "varint_rvv_spark", master: str | None = None,
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # THP fault path is slow on some kernels; see varint_rvv_spark
+        # __init__ — belt-and-braces for workers that import numpy first
+        .config("spark.executorEnv.NUMPY_MADVISE_HUGEPAGE", "0")
+        .config("spark.yarn.appMasterEnv.NUMPY_MADVISE_HUGEPAGE", "0")
         .getOrCreate()
     )
     ship_package(spark)

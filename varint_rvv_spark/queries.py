@@ -339,6 +339,216 @@ ORDER BY cosine DESC, vec_id ASC LIMIT 20
 """
 
 
+# ---------- dedup / similarity / text ops (operators/*.py) ----------
+
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidate pairs on documents."""
+    from .operators.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, "doc_id", "text", k=3, n_hashes=16, bands=4)
+
+
+def _minhash_sql(n_hashes: int = 16, bands: int = 4) -> str:
+    rows = n_hashes // bands
+    mins = ",\n       ".join(
+        f"MIN(md5(shingle || ':{i}')) AS mh{i}" for i in range(n_hashes))
+    band_rows = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band_id, md5({cat}) AS band_hash FROM sig"
+        .format(b=b, cat=" || '|' || ".join(
+            f"mh{b * rows + r}" for r in range(rows)))
+        for b in range(bands))
+    return f"""
+WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+           FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+       FROM d, UNNEST(range(1, len(toks) - 1)) AS t(i)),
+sig AS (SELECT doc_id, {mins}
+        FROM sh GROUP BY doc_id),
+bands AS (
+{band_rows}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b USING (band_id, band_hash)
+WHERE a.doc_id < b.doc_id
+"""
+
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact word-3-gram Jaccard ≥ 0.5 pairs on documents."""
+    from .operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.5)
+
+
+NGRAM_JACCARD_SQL = """
+WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+           FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+       FROM d, UNNEST(range(1, len(toks) - 1)) AS t(i)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+          FROM sh a JOIN sh b USING (shingle)
+          WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT id_a, id_b,
+       ROUND(CAST(n_inter AS DOUBLE)
+             / (sa.n_sh + sb.n_sh - n_inter), 5) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+"""
+
+
+def dedup_simhash(spark, sf_dir):
+    """60-bit SimHash fingerprints for a deterministic doc subset."""
+    from .operators.dedup import simhash64
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return simhash64(d, "doc_id", "text")
+
+
+def _simhash_sql() -> str:
+    bit_sums = ",\n       ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(60))
+    fp = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN (1::BIGINT << {b}) ELSE 0 END)"
+        for b in range(60))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.tok FROM (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts
+    FROM documents WHERE doc_id % 10 = 0) d,
+  UNNEST(d.ts) AS t(tok) WHERE t.tok <> ''),
+hashed AS (SELECT doc_id,
+                  CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+           FROM toks),
+sums AS (SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id)
+SELECT doc_id, {fp} AS simhash FROM sums
+"""
+
+
+def embedding_neardup(spark, sf_dir):
+    """Top-20 most-similar embedding pairs among vec_id < 100."""
+    from .operators.dedup import embedding_neardup_pairs
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    pairs = embedding_neardup_pairs(e, threshold=-1.0)
+    return pairs.orderBy(F.desc("cosine"), F.asc("id_a"),
+                         F.asc("id_b")).limit(20)
+
+
+EMBEDDING_NEARDUP_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.embedding, b.embedding)
+             / (sqrt(list_dot_product(a.embedding, a.embedding))
+                * sqrt(list_dot_product(b.embedding, b.embedding))), 5)
+         AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE a.vec_id < 100 AND b.vec_id < 100
+ORDER BY cosine DESC, id_a ASC, id_b ASC LIMIT 20
+"""
+
+
+def text_lang_id(spark, sf_dir):
+    """Heuristic lang-ID confusion counts vs the labeled lang column."""
+    from .operators.text import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    return (lang_id(d, "text").groupBy("lang", "lang_pred")
+            .agg(F.count("*").alias("n")))
+
+
+def _lang_id_sql() -> str:
+    from .operators.text import LANG_MARKERS
+
+    hit_exprs = {
+        lang: ("len(regexp_extract_all(text, '(?i)\\b("
+               + "|".join(words) + ")\\b'))")
+        for lang, words in LANG_MARKERS.items()}
+    hits = ",\n       ".join(f"{e} AS h_{lang}"
+                             for lang, e in hit_exprs.items())
+    best = "greatest(" + ", ".join(f"h_{lang}" for lang in LANG_MARKERS) + ")"
+    case = "CASE WHEN " + best + " <= 0 THEN 'other' " + " ".join(
+        f"WHEN h_{lang} = {best} THEN '{lang}'" for lang in LANG_MARKERS
+    ) + " ELSE 'other' END"
+    return f"""
+WITH h AS (SELECT lang, {hits} FROM documents)
+SELECT lang, {case} AS lang_pred, COUNT(*) AS n
+FROM h GROUP BY 1, 2
+"""
+
+
+def text_token_counts(spark, sf_dir):
+    """Whitespace + BPE-ish-regex token counts per source."""
+    from .operators.text import token_counts
+
+    d = _t(spark, sf_dir, "documents")
+    return (token_counts(d).groupBy("source")
+            .agg(F.sum("ws_tokens").alias("sum_ws_tokens"),
+                 F.sum("bpe_tokens").alias("sum_bpe_tokens")))
+
+
+TEXT_TOKEN_COUNTS_SQL = r"""
+SELECT source,
+       SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END)
+         AS sum_ws_tokens,
+       SUM(len(regexp_extract_all(text,
+               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS sum_bpe_tokens
+FROM documents GROUP BY source
+"""
+
+
+def text_fingerprint_dupes(spark, sf_dir):
+    """Normalized-content fingerprint dedup summary."""
+    from .operators.text import fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return (fingerprint(d).groupBy("fingerprint")
+            .agg(F.min("doc_id").alias("keep_id"),
+                 F.count("*").alias("n_copies"))
+            .agg(F.count("*").alias("n_unique"),
+                 F.sum("n_copies").alias("n_total"),
+                 F.sum("keep_id").alias("sum_keep_ids")))
+
+
+TEXT_FINGERPRINT_SQL = r"""
+SELECT COUNT(*) AS n_unique, SUM(n_copies) AS n_total,
+       SUM(keep_id) AS sum_keep_ids
+FROM (SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+             AS fingerprint,
+             MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      FROM documents GROUP BY 1) g
+"""
+
+
+def similarity_lsh_topk(spark, sf_dir):
+    """Sign-LSH bucketed approximate top-k (rows-only: xxhash64 has no
+    DuckDB twin)."""
+    from .operators.similarity import lsh_cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 3)
+    return lsh_cosine_topk(e, probes, k=5, n_planes=4)
+
+
+def multimodal_features(spark, sf_dir):
+    """Multimodal plumbing demo: synth media → stub feature extraction
+    (rows-only: stub decode has no SQL twin)."""
+    from .operators.multimodal import extract_features, synth_media_df
+
+    media = synth_media_df(spark, n=64, partitions=4)
+    return (extract_features(media)
+            .select("media_id", "kind", "width", "height", "n_frames",
+                    "checksum")
+            .orderBy("media_id"))
+
+
 # ---------- engine-introspection (rows-only checks, no SQL oracle) ----------
 
 def codec_footer_documents(spark, sf_dir):
@@ -368,6 +578,15 @@ QUERIES = {
     "text_stats_documents": text_stats_documents,
     "embedding_topk_cosine": embedding_topk_cosine,
     "codec_footer_documents": codec_footer_documents,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_simhash": dedup_simhash,
+    "embedding_neardup": embedding_neardup,
+    "text_lang_id": text_lang_id,
+    "text_token_counts": text_token_counts,
+    "text_fingerprint_dupes": text_fingerprint_dupes,
+    "similarity_lsh_topk": similarity_lsh_topk,
+    "multimodal_features": multimodal_features,
 }
 
 ORACLES = {
@@ -384,5 +603,14 @@ ORACLES = {
     "dedup_exact_documents": DEDUP_EXACT_SQL,
     "text_stats_documents": TEXT_STATS_SQL,
     "embedding_topk_cosine": EMBEDDING_TOPK_SQL,
-    # codec_footer_documents: engine introspection — rows-only check
+    "dedup_minhash_lsh": _minhash_sql(),
+    "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
+    "dedup_simhash": _simhash_sql(),
+    "embedding_neardup": EMBEDDING_NEARDUP_SQL,
+    "text_lang_id": _lang_id_sql(),
+    "text_token_counts": TEXT_TOKEN_COUNTS_SQL,
+    "text_fingerprint_dupes": TEXT_FINGERPRINT_SQL,
+    # rows-only (no SQL twin): codec_footer_documents (engine
+    # introspection), similarity_lsh_topk (xxhash64), multimodal_features
+    # (stub decode)
 }
