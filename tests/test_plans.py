@@ -1,0 +1,76 @@
+"""Physical-plan shape assertions (SURVEY.md §4): the plans we ship are
+the plans we designed — shuffle counts, broadcasts, pushdown, pruning.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from varint_rvv_spark.operators.decode import verify_chunks
+from varint_rvv_spark.operators.encode import (
+    encode_chunks,
+    encode_chunks_scan,
+)
+from varint_rvv_spark.sources.pages import pages_df
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    df = pages_df(spark, 200, seed=5, partitions=2)
+    df.cache().count()
+    return df
+
+
+def test_scan_encode_has_no_shuffle(spark, pages):
+    plan = plan_of(encode_chunks_scan(pages))
+    assert "Exchange" not in plan
+
+
+def test_hash_encode_has_exactly_one_shuffle(spark, pages):
+    plan = plan_of(encode_chunks(pages, key_cols=["url"], num_chunks=4))
+    assert plan.count("Exchange") == 1
+
+
+def test_decode_verify_has_no_shuffle(spark, pages):
+    chunks = encode_chunks_scan(pages)
+    plan = plan_of(verify_chunks(chunks))
+    assert "Exchange" not in plan
+
+
+def test_resume_antijoin_is_broadcast(spark, pages):
+    footer = spark.createDataFrame([(0,)], "chunk_id long")
+    df = encode_chunks(pages, key_cols=["url"], num_chunks=4,
+                       done_footer=footer)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_tpch_q3_broadcasts_customer(spark):
+    from varint_rvv_spark.queries import tpch_q3_shipping
+
+    plan = plan_of(tpch_q3_shipping(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    df = (spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+          .filter(F.col("l_quantity") < 10).select("l_orderkey"))
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity" \
+        in plan
+    # column pruning: scan schema carries only the two needed columns
+    assert "l_extendedprice" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_chunk_column_partition_pruning(spark, pages, tmp_path):
+    from varint_rvv_spark.sources.tables import read_chunks, write_encoded
+
+    root = str(tmp_path / "enc")
+    write_encoded(encode_chunks_scan(pages), root, mode="overwrite")
+    pruned = read_chunks(spark, root, columns=["lang"])
+    plan = plan_of(pruned)
+    # partition filter on the `column` dir key, not a post-scan filter
+    assert "PartitionFilters" in plan and "column" in plan

@@ -1,0 +1,85 @@
+"""Sinks (chunks+footer tables), scan-mode encode, and the
+spark-submit job's resume semantics (SURVEY.md §5 item 4 resume test)."""
+
+import json
+import subprocess
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+from varint_rvv_spark.operators.decode import verify_roundtrip
+from varint_rvv_spark.operators.encode import encode_chunks_scan, footer_of
+from varint_rvv_spark.sources.pages import pages_df
+from varint_rvv_spark.sources.tables import (
+    read_chunks,
+    read_footer,
+    write_encoded,
+)
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    df = pages_df(spark, 600, seed=11, partitions=3)
+    df.cache().count()
+    return df
+
+
+def test_scan_mode_roundtrip_and_resume(spark, pages):
+    chunks = encode_chunks_scan(pages, rows_per_chunk=128).cache()
+    n, bad = verify_roundtrip(chunks)
+    assert bad == 0 and n > 0
+    ids = [r["chunk_id"] for r in
+           chunks.select("chunk_id").distinct().collect()]
+    # resume with half done → only the other half re-encoded
+    done = sorted(ids)[: len(ids) // 2]
+    rest = encode_chunks_scan(pages, rows_per_chunk=128,
+                              done_chunk_ids=done)
+    got = {r["chunk_id"] for r in rest.select("chunk_id").distinct().collect()}
+    assert got == set(ids) - set(done)
+    # resumed chunks byte-identical to the full run
+    full = {(r["chunk_id"], r["column"]): r["value_sha256"]
+            for r in chunks.collect() if r["chunk_id"] not in done}
+    resumed = {(r["chunk_id"], r["column"]): r["value_sha256"]
+               for r in rest.collect()}
+    assert full == resumed
+    chunks.unpersist()
+
+
+def test_write_read_encoded(spark, pages, tmp_path):
+    root = str(tmp_path / "enc")
+    chunks = encode_chunks_scan(pages, rows_per_chunk=256)
+    write_encoded(chunks, root, mode="overwrite")
+    back = read_chunks(spark, root)
+    assert back.count() == chunks.count()
+    # partition pruning by column works
+    lang_only = read_chunks(spark, root, columns=["lang"])
+    assert lang_only.select("column").distinct().collect()[0][0] == "lang"
+    n, bad = verify_roundtrip(back)
+    assert bad == 0
+    footer = read_footer(spark, root)
+    assert "payload" not in footer.columns
+    assert footer.count() == chunks.count()
+    # footer ledger totals match
+    agg = footer.agg(F.sum("n_values")).collect()[0][0]
+    assert agg == 600 * 5
+
+
+def test_encode_job_cli_with_resume(tmp_path):
+    out = str(tmp_path / "job_out")
+    cmd = [sys.executable, "jobs/encode_job.py",
+           "--input", "/root/testdata/sf0.001", "--table", "documents",
+           "--output", out, "--mode", "hash", "--num-chunks", "4",
+           "--key-cols", "doc_id", "--master", "local[2]", "--verify"]
+    r1 = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    j1 = json.loads(r1.stdout.strip().splitlines()[-1])
+    assert j1["mismatched_chunks"] == 0
+    assert j1["chunk_rows"] == 4 * 5
+    # resume: everything done → zero new chunk rows
+    r2 = subprocess.run(cmd + ["--resume"], capture_output=True,
+                        text=True, timeout=300)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    j2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert j2["resumed"] is True
+    assert j2["chunk_rows"] == 0

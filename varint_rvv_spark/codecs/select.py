@@ -34,8 +34,17 @@ def _sample_idx(n: int, k: int = SAMPLE) -> np.ndarray:
     return np.arange(0, step * k, step, dtype=np.int64)
 
 
-def _sample_k(dtype_code: int) -> int:
-    return SAMPLE_VARLEN if B.is_varlen(dtype_code) else SAMPLE
+SAMPLE_VARLEN_BYTES = 2 << 20  # cap trial/stat sample to ~2 MB of data
+
+
+def _sample_k(dtype_code: int, values=None) -> int:
+    if not B.is_varlen(dtype_code):
+        return SAMPLE
+    k = SAMPLE_VARLEN
+    if values is not None and len(values):
+        avg = max(values.nbytes / len(values), 1.0)
+        k = int(min(SAMPLE_VARLEN, max(64, SAMPLE_VARLEN_BYTES / avg)))
+    return k
 
 
 def _take(values, dtype_code: int, idx: np.ndarray):
@@ -52,7 +61,7 @@ def column_stats(values, dtype_code: int) -> dict:
     stats = {"n": n}
     if n == 0:
         return stats
-    idx = _sample_idx(n, _sample_k(dtype_code))
+    idx = _sample_idx(n, _sample_k(dtype_code, values))
     sample = _take(values, dtype_code, idx)
     if B.is_varlen(dtype_code):
         from .composite import varlen_to_pa
@@ -114,7 +123,7 @@ def select_codec(values, dtype_code: int, stats: dict | None = None) -> int:
     if n == 0:
         return B.RAW
     stats = stats or column_stats(values, dtype_code)
-    idx = _sample_idx(n, _sample_k(dtype_code))
+    idx = _sample_idx(n, _sample_k(dtype_code, values))
     sample = _take(values, dtype_code, idx)
     scale = n / len(sample)
     cand: dict[int, float] = {}
@@ -130,7 +139,9 @@ def select_codec(values, dtype_code: int, stats: dict | None = None) -> int:
                            np.arange(min(n, PREFIX), dtype=np.int64))
             cand[B.RLE] = _trial_size(B.RLE, prefix, dtype_code,
                                       n / len(prefix))
-        if B.FSST in B.CODEC_NAMES and _registered(B.FSST):
+        if (_registered(B.FSST) and stats.get("avg_len", 1e9) <= 512):
+            # FSST pays off on short strings (urls, tags); long documents
+            # go to zstd without burning a trial pass
             cand[B.FSST] = _trial_size(B.FSST, sample, dtype_code, scale)
     elif B.NUMERIC_NP[dtype_code].kind == "f":
         cand[B.RAW] = float(np.ascontiguousarray(values).nbytes)

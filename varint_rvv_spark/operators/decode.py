@@ -34,6 +34,34 @@ def _verify_kernel(batch_iter):
         yield pa.RecordBatch.from_pydict(out)
 
 
+DECODE_BENCH_SCHEMA = ("chunk_id long, column string, n_values long, "
+                       "decoded_bytes long")
+
+
+def _decode_only_kernel(batch_iter):
+    from .arrow_bridge import raw_nbytes
+
+    for batch in batch_iter:
+        d = batch.to_pydict()
+        out = {"chunk_id": d["chunk_id"], "column": d["column"],
+               "n_values": [], "decoded_bytes": []}
+        for payload in d["payload"]:
+            values, _, dt = B.decode_blob(payload)
+            out["n_values"].append(len(values))
+            out["decoded_bytes"].append(raw_nbytes(values, dt))
+        yield pa.RecordBatch.from_pydict(out)
+
+
+def decode_only(chunks: DataFrame) -> DataFrame:
+    """Pure decode pass (no hashing) — the decode-throughput job.
+
+    Bit-identity is `verify_chunks`'s job; this measures the decode
+    path itself (scan → mapInArrow, zero shuffle).
+    """
+    return chunks.select("chunk_id", "column", "payload").mapInArrow(
+        _decode_only_kernel, DECODE_BENCH_SCHEMA)
+
+
 def verify_chunks(chunks: DataFrame) -> DataFrame:
     """Decode every chunk and compare content hashes (bit-identity)."""
     cols = ["chunk_id", "column", "payload", "value_sha256"]

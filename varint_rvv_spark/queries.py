@@ -54,8 +54,8 @@ def rt_documents_by_lang(spark, sf_dir):
 
 
 RT_DOCUMENTS_SQL = """
-SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
-       SUM(doc_id) AS sum_ids
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids
 FROM documents GROUP BY lang
 """
 
@@ -73,7 +73,7 @@ def rt_events_by_type(spark, sf_dir):
 RT_EVENTS_SQL = """
 SELECT event_type, COUNT(*) AS n_events,
        MIN(epoch_us(ts)) AS min_ts_us, MAX(epoch_us(ts)) AS max_ts_us,
-       SUM(user_id) AS sum_users, ROUND(SUM(value), 4) AS sum_value
+       CAST(SUM(user_id) AS BIGINT) AS sum_users, ROUND(SUM(value), 4) AS sum_value
 FROM events GROUP BY event_type
 """
 
@@ -237,7 +237,7 @@ def setop_orders_no_lineitem(spark, sf_dir):
 
 
 SETOP_SQL = """
-SELECT COUNT(*) AS n_orders_without_items, SUM(o_orderkey) AS sum_keys
+SELECT COUNT(*) AS n_orders_without_items, CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys
 FROM (SELECT DISTINCT o_orderkey FROM orders
       EXCEPT SELECT DISTINCT l_orderkey FROM lineitem) t
 """
@@ -278,9 +278,9 @@ def dedup_exact_documents(spark, sf_dir):
 
 
 DEDUP_EXACT_SQL = """
-SELECT COUNT(*) AS n_unique, SUM(n_copies) AS n_total,
-       SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS n_dup_groups,
-       SUM(keep_id) AS sum_keep_ids
+SELECT COUNT(*) AS n_unique, CAST(SUM(n_copies) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+       CAST(SUM(keep_id) AS BIGINT) AS sum_keep_ids
 FROM (SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
              COUNT(*) AS n_copies
       FROM documents GROUP BY md5(text)) g
@@ -301,8 +301,8 @@ def text_stats_documents(spark, sf_dir):
 
 
 TEXT_STATS_SQL = """
-SELECT source, COUNT(*) AS n_docs, SUM(LENGTH(text)) AS sum_chars,
-       SUM(LEN(regexp_split_to_array(TRIM(text), '\\s+'))) AS sum_tokens,
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars,
+       CAST(SUM(LEN(regexp_split_to_array(TRIM(text), '\\s+'))) AS BIGINT) AS sum_tokens,
        ROUND(AVG(CAST(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
                  / GREATEST(LENGTH(text), 1)), 6) AS digit_ratio
 FROM documents GROUP BY source
@@ -495,11 +495,11 @@ def text_token_counts(spark, sf_dir):
 
 TEXT_TOKEN_COUNTS_SQL = r"""
 SELECT source,
-       SUM(CASE WHEN length(trim(text)) = 0 THEN 0
-                ELSE len(string_split_regex(trim(text), '\s+')) END)
+       CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT)
          AS sum_ws_tokens,
-       SUM(len(regexp_extract_all(text,
-               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS sum_bpe_tokens
+       CAST(SUM(len(regexp_extract_all(text,
+               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS sum_bpe_tokens
 FROM documents GROUP BY source
 """
 
@@ -518,8 +518,8 @@ def text_fingerprint_dupes(spark, sf_dir):
 
 
 TEXT_FINGERPRINT_SQL = r"""
-SELECT COUNT(*) AS n_unique, SUM(n_copies) AS n_total,
-       SUM(keep_id) AS sum_keep_ids
+SELECT COUNT(*) AS n_unique, CAST(SUM(n_copies) AS BIGINT) AS n_total,
+       CAST(SUM(keep_id) AS BIGINT) AS sum_keep_ids
 FROM (SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
              AS fingerprint,
              MIN(doc_id) AS keep_id, COUNT(*) AS n_copies

@@ -1,0 +1,64 @@
+"""Format-abstraction layer for encoded-chunk + footer tables.
+
+North_rule storage target is Iceberg; this sandbox has no Iceberg jars
+(verified: pyspark/jars carries none), so the layer writes the same
+logical schema either way (SURVEY.md §1.2):
+
+* Iceberg path (`catalog_table=...`): `df.writeTo(table).append()` /
+  partitioned `createOrReplace` — used when the session is configured
+  with a `spark.sql.catalog.*` Iceberg catalog.
+* Parquet path (default): directory layout `<root>/chunks` +
+  `<root>/footer`, zstd parquet, chunk table partitioned by `column`
+  so single-column decodes prune at the scan.
+
+The footer doubles as the checkpoint ledger: `resume_footer` loads it
+(empty → None) and encode passes it to skip finished chunks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.encode import footer_of
+
+
+def _use_iceberg(spark: SparkSession, catalog_table: str | None) -> bool:
+    if not catalog_table:
+        return False
+    cat = catalog_table.split(".")[0]
+    return spark.conf.get(f"spark.sql.catalog.{cat}", None) is not None
+
+
+def write_encoded(chunks: DataFrame, root: str,
+                  catalog_table: str | None = None,
+                  mode: str = "append") -> None:
+    """Persist chunks + footer (Iceberg when configured, else parquet)."""
+    spark = chunks.sparkSession
+    footer = footer_of(chunks)
+    if _use_iceberg(spark, catalog_table):  # pragma: no cover - no jars here
+        chunks.writeTo(f"{catalog_table}_chunks").append()
+        footer.writeTo(f"{catalog_table}_footer").append()
+        return
+    (chunks.write.mode(mode).partitionBy("column")
+     .parquet(f"{root}/chunks"))
+    footer.write.mode(mode).parquet(f"{root}/footer")
+
+
+def read_chunks(spark: SparkSession, root: str,
+                columns: list[str] | None = None) -> DataFrame:
+    df = spark.read.parquet(f"{root}/chunks")
+    if columns:
+        df = df.filter(df["column"].isin(columns))  # partition pruning
+    return df
+
+
+def read_footer(spark: SparkSession, root: str) -> DataFrame:
+    return spark.read.parquet(f"{root}/footer")
+
+
+def resume_footer(spark: SparkSession, root: str) -> DataFrame | None:
+    """Footer if a previous (partial) run exists, else None."""
+    try:
+        return read_footer(spark, root)
+    except Exception:
+        return None
