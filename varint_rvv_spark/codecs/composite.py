@@ -64,29 +64,51 @@ def pa_to_varlen(arr: pa.Array) -> B.VarlenArray:
 # numeric payload: values.tobytes()
 # varlen payload:  offsets int64[n+1] | data
 
-def enc_raw(values, dtype_code: int) -> bytes:
+def _raw_inner_blob(values, dtype_code: int) -> bytearray:
+    """Full RAW blob (header+payload) assembled with one memcpy pass."""
+    n = len(values)
     if B.is_varlen(dtype_code):
-        return values.offsets.astype("<i8").tobytes() + values.data.tobytes()
-    np_dt = B.NUMERIC_NP[dtype_code]
-    return np.ascontiguousarray(values, dtype=np_dt).tobytes()
+        offs = np.ascontiguousarray(values.offsets, dtype="<i8")
+        data = np.ascontiguousarray(values.data)
+        buf = bytearray(B.HEADER_LEN + offs.nbytes + data.nbytes)
+        B.HEADER.pack_into(buf, 0, B.RAW, dtype_code, n)
+        mv = memoryview(buf)
+        mv[B.HEADER_LEN:B.HEADER_LEN + offs.nbytes] = offs.view(np.uint8).data
+        mv[B.HEADER_LEN + offs.nbytes:] = data.data
+        return buf
+    arr = np.ascontiguousarray(values, dtype=B.NUMERIC_NP[dtype_code])
+    buf = bytearray(B.HEADER_LEN + arr.nbytes)
+    B.HEADER.pack_into(buf, 0, B.RAW, dtype_code, n)
+    memoryview(buf)[B.HEADER_LEN:] = arr.view(np.uint8).reshape(-1).data
+    return buf
+
+
+def enc_raw(values, dtype_code: int) -> bytes:
+    return bytes(memoryview(_raw_inner_blob(values, dtype_code))
+                 [B.HEADER_LEN:])
 
 
 def dec_raw(payload, n: int, dtype_code: int):
+    # zero-copy views: frombuffer keeps the payload alive via refcount,
+    # and every decode consumer treats values as immutable
     if B.is_varlen(dtype_code):
-        offsets = np.frombuffer(payload, dtype="<i8", count=n + 1).astype(np.int64)
-        data = np.frombuffer(payload, dtype=np.uint8,
-                             offset=(n + 1) * 8).copy()
+        offsets = np.frombuffer(payload, dtype="<i8",
+                                count=n + 1).astype(np.int64)
+        data = np.frombuffer(payload, dtype=np.uint8, offset=(n + 1) * 8)
         return B.VarlenArray(offsets=offsets, data=data)
     np_dt = B.NUMERIC_NP[dtype_code]
-    return np.frombuffer(payload, dtype=np_dt, count=n).copy()
+    return np.frombuffer(payload, dtype=np_dt, count=n)
 
 
 # --- ZSTD (codec 6): wraps an inner blob ---
 # payload = inner_uncompressed_len:u64 | zstd(inner_blob)
 
 def enc_zstd(values, dtype_code: int, inner_codec: int = B.RAW) -> bytes:
-    inner = B.encode_blob(inner_codec, dtype_code, values)
-    comp = pa.compress(inner, codec="zstd", asbytes=True)
+    if inner_codec == B.RAW:
+        inner = _raw_inner_blob(values, dtype_code)  # single-copy path
+    else:
+        inner = B.encode_blob(inner_codec, dtype_code, values)
+    comp = pa.compress(pa.py_buffer(inner), codec="zstd", asbytes=True)
     return _U64.pack(len(inner)) + comp
 
 

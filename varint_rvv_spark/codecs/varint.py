@@ -57,13 +57,21 @@ def varint_encode(values: np.ndarray) -> np.ndarray:
     np.cumsum(nbytes[:-1], out=offsets[1:])
     total = int(offsets[-1] + nbytes[-1])
     out = np.empty(total, dtype=np.uint8)
-    max_len = int(nbytes.max())
-    idx_all = offsets  # byte position of level-0 byte per value
-    for k in range(max_len):
-        mask = nbytes > k
-        vals_k = (v[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)
-        cont = (nbytes[mask] > k + 1).astype(np.uint8) << 7
-        out[idx_all[mask] + k] = vals_k.astype(np.uint8) | cont
+    # level 0 writes every value; higher levels shrink to the values
+    # that still have bytes (progressive subset — the numpy analogue of
+    # the reference's early-out per byte-level, maskshift.c:186-210)
+    lvl0 = (v & np.uint64(0x7F)).astype(np.uint8)
+    lvl0 |= (nbytes > 1).astype(np.uint8) << 7
+    out[offsets] = lvl0
+    idx = np.flatnonzero(nbytes > 1)
+    k = 1
+    while idx.size:
+        vv = ((v[idx] >> np.uint64(7 * k)) & np.uint64(0x7F)).astype(np.uint8)
+        more = nbytes[idx] > k + 1
+        vv |= more.astype(np.uint8) << 7
+        out[offsets[idx] + k] = vv
+        idx = idx[more]
+        k += 1
     return out
 
 
@@ -81,22 +89,30 @@ def varint_decode(buf: np.ndarray, out_dtype=np.uint64) -> np.ndarray:
     # Fast path: whole window is 1-byte values (vecshift.c:23-32).
     if not cont.any():
         return buf.astype(out_dtype)
-    term = ~cont  # terminator byte = last byte of each value
-    ends = np.flatnonzero(term)
+    ends = np.flatnonzero(~cont)  # terminator byte = last byte of a value
     if ends.size == 0 or ends[-1] != buf.size - 1:
         raise ValueError("truncated varint stream (no terminator at end)")
-    group_start = np.empty(ends.size, dtype=np.int64)
-    group_start[0] = 0
-    np.add(ends[:-1], 1, out=group_start[1:])
-    # value id per byte = count of terminators strictly before it
-    vid = np.repeat(np.arange(ends.size, dtype=np.int64),
-                    np.diff(np.concatenate(([0], ends + 1))))
-    pos = np.arange(buf.size, dtype=np.int64) - group_start[vid]
-    if (pos > 9).any():
-        raise ValueError("varint longer than 10 bytes (malformed stream)")
-    payload = (buf & np.uint8(0x7F)).astype(np.uint64) << (pos * 7).astype(np.uint64)
-    # groups are contiguous and 7-bit groups have disjoint bits → add == or
-    res = np.add.reduceat(payload, group_start)
+    # Backward accumulation from each terminator: res = (res<<7) | byte,
+    # walking toward the value's first byte; the active set shrinks to
+    # only still-multi-byte values each round — the numpy transpose of
+    # the reference's early-out per byte-level (vecshift.c:68-71,
+    # maskshift.c:186-210).
+    res = buf[ends].astype(np.uint64)
+    p = ends - 1
+    idx = np.flatnonzero(p >= 0)
+    idx = idx[cont[p[idx]]]
+    rounds = 0
+    while idx.size:
+        pi = p[idx]
+        res[idx] = (res[idx] << np.uint64(7)) | (buf[pi] & np.uint8(0x7F))
+        p[idx] = pi - 1
+        nxt = pi - 1
+        keep = nxt >= 0
+        idx = idx[keep]
+        idx = idx[cont[nxt[keep]]]
+        rounds += 1
+        if rounds > 9:
+            raise ValueError("varint longer than 10 bytes (malformed stream)")
     return res.astype(out_dtype, copy=False)
 
 
