@@ -549,6 +549,129 @@ def multimodal_features(spark, sf_dir):
             .orderBy("media_id"))
 
 
+# ---------- scalar-function coverage (json / math / array / percentile) ----
+
+def events_json_props(spark, sf_dir):
+    """JSON scalar functions: extract props.k, aggregate per type."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (e.groupBy("event_type")
+            .agg(F.sum(k).alias("sum_k"),
+                 F.max(k).alias("max_k"),
+                 F.count(F.when(k > 50, 1)).alias("n_big")))
+
+
+EVENTS_JSON_SQL = """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       COUNT(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+                  THEN 1 END) AS n_big
+FROM events GROUP BY event_type
+"""
+
+
+def part_scalar_math(spark, sf_dir):
+    """Math scalar functions: sqrt/abs/pow/round over part."""
+    p = _t(spark, sf_dir, "part")
+    return (p.groupBy("p_brand")
+            .agg(F.round(F.sum(F.sqrt("p_retailprice")), 2).alias("sum_sqrt"),
+                 F.max(F.abs(F.col("p_size") - 25)).alias("max_absdev"),
+                 F.round(F.avg(F.pow(F.col("p_size"), 2)), 2)
+                 .alias("avg_size_sq"),
+                 F.count("*").alias("n_parts")))
+
+
+PART_MATH_SQL = """
+SELECT p_brand, ROUND(SUM(sqrt(p_retailprice)), 2) AS sum_sqrt,
+       MAX(abs(p_size - 25)) AS max_absdev,
+       ROUND(AVG(pow(p_size, 2)), 2) AS avg_size_sq,
+       COUNT(*) AS n_parts
+FROM part GROUP BY p_brand
+"""
+
+
+def embeddings_array_ops(spark, sf_dir):
+    """Array functions: size, element access, aggregate-over-array."""
+    e = _t(spark, sf_dir, "embeddings")
+    norm2 = F.aggregate(F.transform("embedding", lambda x: x * x),
+                        F.lit(0.0), lambda a, x: a + x)
+    return (e.groupBy("label")
+            .agg(F.count("*").alias("n_vecs"),
+                 F.max(F.size("embedding")).alias("dim"),
+                 F.round(F.avg(norm2), 4).alias("avg_norm2"),
+                 F.round(F.sum(F.element_at("embedding", 1)), 4)
+                 .alias("sum_first")))
+
+
+EMBEDDINGS_ARRAY_SQL = """
+SELECT label, COUNT(*) AS n_vecs, MAX(len(embedding)) AS dim,
+       ROUND(AVG(list_dot_product(embedding, embedding)), 4) AS avg_norm2,
+       ROUND(SUM(embedding[1]), 4) AS sum_first
+FROM embeddings GROUP BY label
+"""
+
+
+def customer_median_balance(spark, sf_dir):
+    """Exact interpolated percentile (sorts/percentile coverage)."""
+    c = _t(spark, sf_dir, "customer")
+    return (c.groupBy("c_mktsegment")
+            .agg(F.round(F.expr("percentile(c_acctbal, 0.5)"), 4)
+                 .alias("median_bal"),
+                 F.round(F.expr("percentile(c_acctbal, 0.9)"), 4)
+                 .alias("p90_bal"),
+                 F.count("*").alias("n_customers")))
+
+
+CUSTOMER_MEDIAN_SQL = """
+SELECT c_mktsegment,
+       ROUND(quantile_cont(c_acctbal, 0.5), 4) AS median_bal,
+       ROUND(quantile_cont(c_acctbal, 0.9), 4) AS p90_bal,
+       COUNT(*) AS n_customers
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+def text_quality_by_lang(spark, sf_dir):
+    """quality_score operator aggregated per lang, SQL-mirrored."""
+    from .operators.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    return (quality_score(d).groupBy("lang")
+            .agg(F.round(F.avg("quality"), 4).alias("avg_quality"),
+                 F.round(F.avg("alpha_ratio"), 4).alias("avg_alpha"),
+                 F.count("*").alias("n_docs")))
+
+
+TEXT_QUALITY_SQL = r"""
+WITH f AS (
+  SELECT lang,
+         LENGTH(text) AS n_chars,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE len(string_split_regex(TRIM(text), '\s+')) END AS n_tokens,
+         LENGTH(regexp_replace(text, '[^A-Za-zÀ-ÿа-яА-Я]', '', 'g'))
+           AS n_alpha
+  FROM documents),
+q AS (
+  SELECT lang,
+         ROUND(CAST(n_alpha AS DOUBLE) / GREATEST(n_chars, 1), 4)
+           AS alpha_ratio,
+         ROUND(CAST(n_chars AS DOUBLE) / GREATEST(n_tokens, 1), 4)
+           AS avg_token_len,
+         n_tokens
+  FROM f)
+SELECT lang,
+       ROUND(AVG(ROUND(
+         0.4 * LEAST(n_tokens / 100.0, 1.0) + 0.4 * alpha_ratio
+         + 0.2 * (CASE WHEN avg_token_len >= 3 AND avg_token_len <= 12
+                       THEN 1.0 ELSE 0.5 END), 4)), 4) AS avg_quality,
+       ROUND(AVG(alpha_ratio), 4) AS avg_alpha,
+       COUNT(*) AS n_docs
+FROM q GROUP BY lang
+"""
+
+
 # ---------- engine-introspection (rows-only checks, no SQL oracle) ----------
 
 def codec_footer_documents(spark, sf_dir):
@@ -587,6 +710,11 @@ QUERIES = {
     "text_fingerprint_dupes": text_fingerprint_dupes,
     "similarity_lsh_topk": similarity_lsh_topk,
     "multimodal_features": multimodal_features,
+    "events_json_props": events_json_props,
+    "part_scalar_math": part_scalar_math,
+    "embeddings_array_ops": embeddings_array_ops,
+    "customer_median_balance": customer_median_balance,
+    "text_quality_by_lang": text_quality_by_lang,
 }
 
 ORACLES = {
@@ -610,6 +738,11 @@ ORACLES = {
     "text_lang_id": _lang_id_sql(),
     "text_token_counts": TEXT_TOKEN_COUNTS_SQL,
     "text_fingerprint_dupes": TEXT_FINGERPRINT_SQL,
+    "events_json_props": EVENTS_JSON_SQL,
+    "part_scalar_math": PART_MATH_SQL,
+    "embeddings_array_ops": EMBEDDINGS_ARRAY_SQL,
+    "customer_median_balance": CUSTOMER_MEDIAN_SQL,
+    "text_quality_by_lang": TEXT_QUALITY_SQL,
     # rows-only (no SQL twin): codec_footer_documents (engine
     # introspection), similarity_lsh_topk (xxhash64), multimodal_features
     # (stub decode)
