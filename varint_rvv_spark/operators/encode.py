@@ -64,6 +64,47 @@ def assign_chunks(df: DataFrame, key_cols: list[str],
         CHUNK_ID, F.pmod(F.xxhash64(*key_cols), F.lit(num_chunks)))
 
 
+def _append_column_row(rows: dict, chunk_id: int, col: str, arr,
+                       overrides: dict) -> None:
+    """Encode one column of one chunk and append its footer row.
+
+    stats_json carries the codec-selection stats plus the per-chunk
+    varint byte-length histogram for integer columns — the engine twin
+    of the reference's encoded-stream scanner
+    (/root/reference/example/example.c:70-81, SURVEY.md §2.2).
+    """
+    values, dt, logical, validity = arrow_to_values(arr)
+    stats = column_stats(values, dt)
+    forced = overrides.get(col)
+    if forced is not None:
+        blob, codec_id = B.encode_blob(forced, dt, values), forced
+    else:
+        blob, codec_id, stats = encode_auto(values, dt, stats)
+    out_stats = {k: v for k, v in stats.items()
+                 if isinstance(v, (int, float))}
+    if (not B.is_varlen(dt) and B.NUMERIC_NP[dt].kind in "iu"
+            and len(values)):
+        from ..codecs.numeric import _as_u64
+        from ..codecs.varint import varint_byte_lengths
+
+        hist = np.bincount(varint_byte_lengths(_as_u64(values, dt)),
+                           minlength=11)[1:]
+        out_stats["varint_len_hist"] = [int(x) for x in hist]
+    rows["chunk_id"].append(chunk_id)
+    rows["column"].append(col)
+    rows["codec_id"].append(codec_id)
+    rows["codec"].append(B.CODEC_NAMES[codec_id])
+    rows["dtype_code"].append(dt)
+    rows["logical_type"].append(logical)
+    rows["n_values"].append(len(values))
+    rows["raw_bytes"].append(raw_nbytes(values, dt))
+    rows["encoded_bytes"].append(len(blob))
+    rows["value_sha256"].append(values_sha256(values, dt))
+    rows["validity"].append(validity)
+    rows["payload"].append(blob)
+    rows["stats_json"].append(json.dumps(out_stats, sort_keys=True))
+
+
 def _encode_kernel(columns: list[str], codec_overrides: dict | None):
     """Build the mapInArrow kernel: partition batches → chunk rows."""
     overrides = codec_overrides or {}
@@ -84,30 +125,8 @@ def _encode_kernel(columns: list[str], codec_overrides: dict | None):
             sub = tbl.slice(s, e - s)
             rows = {k: [] for k in CHUNK_ARROW_SCHEMA.names}
             for col in columns:
-                arr = sub[col].combine_chunks()
-                values, dt, logical, validity = arrow_to_values(arr)
-                stats = column_stats(values, dt)
-                forced = overrides.get(col)
-                if forced is not None:
-                    blob = B.encode_blob(forced, dt, values)
-                    codec_id = forced
-                else:
-                    blob, codec_id, stats = encode_auto(values, dt, stats)
-                rows["chunk_id"].append(chunk_id)
-                rows["column"].append(col)
-                rows["codec_id"].append(codec_id)
-                rows["codec"].append(B.CODEC_NAMES[codec_id])
-                rows["dtype_code"].append(dt)
-                rows["logical_type"].append(logical)
-                rows["n_values"].append(len(values))
-                rows["raw_bytes"].append(raw_nbytes(values, dt))
-                rows["encoded_bytes"].append(len(blob))
-                rows["value_sha256"].append(values_sha256(values, dt))
-                rows["validity"].append(validity)
-                rows["payload"].append(blob)
-                rows["stats_json"].append(json.dumps(
-                    {k: v for k, v in stats.items()
-                     if isinstance(v, (int, float))}, sort_keys=True))
+                _append_column_row(rows, chunk_id, col,
+                                   sub[col].combine_chunks(), overrides)
             yield pa.RecordBatch.from_pydict(rows, schema=CHUNK_ARROW_SCHEMA)
 
     return fn
@@ -168,29 +187,8 @@ def _scan_kernel(columns: list[str], rows_per_chunk: int,
                 return None
             rows = {k: [] for k in CHUNK_ARROW_SCHEMA.names}
             for col in columns:
-                arr = tbl[col].combine_chunks()
-                values, dt, logical, validity = arrow_to_values(arr)
-                stats = column_stats(values, dt)
-                forced = overrides.get(col)
-                if forced is not None:
-                    blob, codec_id = B.encode_blob(forced, dt, values), forced
-                else:
-                    blob, codec_id, stats = encode_auto(values, dt, stats)
-                rows["chunk_id"].append(chunk_id)
-                rows["column"].append(col)
-                rows["codec_id"].append(codec_id)
-                rows["codec"].append(B.CODEC_NAMES[codec_id])
-                rows["dtype_code"].append(dt)
-                rows["logical_type"].append(logical)
-                rows["n_values"].append(len(values))
-                rows["raw_bytes"].append(raw_nbytes(values, dt))
-                rows["encoded_bytes"].append(len(blob))
-                rows["value_sha256"].append(values_sha256(values, dt))
-                rows["validity"].append(validity)
-                rows["payload"].append(blob)
-                rows["stats_json"].append(json.dumps(
-                    {k: v for k, v in stats.items()
-                     if isinstance(v, (int, float))}, sort_keys=True))
+                _append_column_row(rows, chunk_id, col,
+                                   tbl[col].combine_chunks(), overrides)
             return pa.RecordBatch.from_pydict(rows, schema=CHUNK_ARROW_SCHEMA)
 
         for batch in batch_iter:
