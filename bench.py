@@ -30,7 +30,8 @@ N_PAGES = int(os.environ.get("SPARK_GRAFT_PAGES", "40000"))
 
 HEADLINE = ["tpch_q1", "tpch_q3_shipping", "tpch_q6_revenue",
             "rt_lineitem_q1", "rt_documents_by_lang",
-            "dedup_exact_documents", "embedding_topk_cosine",
+            "dedup_exact_documents", "dedup_minhash_lsh",
+            "text_token_counts", "embedding_topk_cosine",
             "window_order_rank", "events_daily"]
 
 

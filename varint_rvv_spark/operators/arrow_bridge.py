@@ -107,9 +107,11 @@ def values_sha256(values, dtype_code: int) -> str:
     """
     h = hashlib.sha256()
     if B.is_varlen(dtype_code):
-        h.update(np.ascontiguousarray(values.lengths(), dtype="<i8").tobytes())
-        h.update(np.ascontiguousarray(values.data).tobytes())
+        h.update(np.ascontiguousarray(values.lengths(), dtype="<i8").data)
+        h.update(np.ascontiguousarray(values.data).data)
     else:
-        h.update(np.ascontiguousarray(values).astype(
-            np.ascontiguousarray(values).dtype.newbyteorder("<")).tobytes())
+        arr = np.ascontiguousarray(values)
+        if arr.dtype.byteorder == ">":  # never on this platform, but exact
+            arr = arr.astype(arr.dtype.newbyteorder("<"))
+        h.update(arr.data)
     return h.hexdigest()
