@@ -34,3 +34,34 @@ def test_stream_encode_incremental(spark, tmp_path):
     # epoch-namespaced chunk ids never collide
     assert allc.select("chunk_id", "column").distinct().count() == \
         allc.count()
+
+
+def test_windowed_metrics_with_watermark(spark, tmp_path):
+    """Watermarked windowed rollup over a footer-like stream."""
+    import datetime as dt
+
+    from varint_rvv_spark.streaming.encode_stream import (
+        windowed_encode_metrics,
+    )
+
+    src_dir = str(tmp_path / "footer_stream")
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [(base + dt.timedelta(seconds=10 * i), "lang", 100 + i, 10 + i)
+            for i in range(30)]
+    spark.createDataFrame(
+        rows, "event_time timestamp, column string, raw_bytes long, "
+              "encoded_bytes long").write.parquet(src_dir)
+    stream = (spark.readStream
+              .schema("event_time timestamp, column string, "
+                      "raw_bytes long, encoded_bytes long")
+              .parquet(src_dir))
+    agg = windowed_encode_metrics(stream, window="1 minute",
+                                  watermark="2 minutes")
+    q = (agg.writeStream.format("memory").queryName("metrics")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM metrics ORDER BY window_start").collect()
+    # 30 events at 10s spacing → 5 one-minute windows of 6 chunks each
+    assert len(got) == 5
+    assert all(r["n_chunks"] == 6 for r in got)
+    assert got[0]["raw_bytes"] == sum(100 + i for i in range(6))

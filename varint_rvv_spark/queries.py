@@ -549,6 +549,131 @@ def multimodal_features(spark, sf_dir):
             .orderBy("media_id"))
 
 
+def rt_events_scanmode(spark, sf_dir):
+    """Round-trip through the shuffle-free scan-mode encode pipeline."""
+    from .operators.encode import encode_chunks_scan
+
+    df = _t(spark, sf_dir, "events")
+    chunks = encode_chunks_scan(df, rows_per_chunk=4096)
+    d = decode_table(chunks, df.columns, TABLE_SCHEMAS["events"])
+    return (d.agg(F.count("*").alias("n_events"),
+                  F.sum("event_id").alias("sum_ids"),
+                  F.min(F.unix_micros("ts")).alias("min_ts_us"),
+                  F.round(F.sum("value"), 4).alias("sum_value"),
+                  F.countDistinct("event_type").alias("n_types")))
+
+
+RT_EVENTS_SCANMODE_SQL = """
+SELECT COUNT(*) AS n_events, CAST(SUM(event_id) AS BIGINT) AS sum_ids,
+       MIN(epoch_us(ts)) AS min_ts_us, ROUND(SUM(value), 4) AS sum_value,
+       COUNT(DISTINCT event_type) AS n_types
+FROM events
+"""
+
+
+def tpch_q5ish_region_revenue(spark, sf_dir):
+    """Multi-join star query with region filter (q5 shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"),
+                 F.count("*").alias("n_items")))
+
+
+TPCH_Q5ISH_SQL = """
+SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+def orders_rollup(spark, sf_dir):
+    """ROLLUP grouping-sets aggregation over status × priority."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.rollup("o_orderstatus", "o_orderpriority")
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
+            .select(F.coalesce("o_orderstatus", F.lit("ALL"))
+                    .alias("status"),
+                    F.coalesce("o_orderpriority", F.lit("ALL"))
+                    .alias("priority"),
+                    "n_orders", "sum_price"))
+
+
+ORDERS_ROLLUP_SQL = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def string_date_functions(spark, sf_dir):
+    """String + date scalar-function coverage over orders."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.groupBy(F.upper(F.substring("o_orderpriority", 1, 1))
+                      .alias("prio_initial"),
+                      F.year("o_orderdate").alias("order_year"))
+            .agg(F.count("*").alias("n"),
+                 F.max(F.length(F.concat(F.lit("P-"), "o_orderstatus")))
+                 .alias("max_tag_len"),
+                 F.min(F.date_format("o_orderdate", "yyyy-MM"))
+                 .alias("first_month")))
+
+
+STRING_DATE_SQL = """
+SELECT UPPER(substr(o_orderpriority, 1, 1)) AS prio_initial,
+       CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+       COUNT(*) AS n,
+       MAX(LENGTH('P-' || o_orderstatus)) AS max_tag_len,
+       MIN(strftime(o_orderdate, '%Y-%m')) AS first_month
+FROM orders GROUP BY 1, 2
+"""
+
+
+def global_dict_roundtrip(spark, sf_dir):
+    """Global broadcast dictionary: encode lang → codes → decode → agg.
+
+    Oracle equality proves the code mapping is lossless; the Spark plan
+    is distinct-agg + two broadcast joins (no fact-table shuffle).
+    """
+    from .operators.globaldict import (
+        build_dictionary,
+        decode_with_dictionary,
+        encode_with_dictionary,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    dictionary = build_dictionary(d, "lang")
+    coded = encode_with_dictionary(d, "lang", dictionary)
+    back = decode_with_dictionary(coded, "lang", dictionary)
+    return (back.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("sum_chars")))
+
+
+GLOBAL_DICT_SQL = """
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY lang
+"""
+
+
 # ---------- scalar-function coverage (json / math / array / percentile) ----
 
 def events_json_props(spark, sf_dir):
@@ -715,6 +840,11 @@ QUERIES = {
     "embeddings_array_ops": embeddings_array_ops,
     "customer_median_balance": customer_median_balance,
     "text_quality_by_lang": text_quality_by_lang,
+    "rt_events_scanmode": rt_events_scanmode,
+    "tpch_q5ish_region_revenue": tpch_q5ish_region_revenue,
+    "orders_rollup": orders_rollup,
+    "string_date_functions": string_date_functions,
+    "global_dict_roundtrip": global_dict_roundtrip,
 }
 
 ORACLES = {
@@ -743,6 +873,11 @@ ORACLES = {
     "embeddings_array_ops": EMBEDDINGS_ARRAY_SQL,
     "customer_median_balance": CUSTOMER_MEDIAN_SQL,
     "text_quality_by_lang": TEXT_QUALITY_SQL,
+    "rt_events_scanmode": RT_EVENTS_SCANMODE_SQL,
+    "tpch_q5ish_region_revenue": TPCH_Q5ISH_SQL,
+    "orders_rollup": ORDERS_ROLLUP_SQL,
+    "string_date_functions": STRING_DATE_SQL,
+    "global_dict_roundtrip": GLOBAL_DICT_SQL,
     # rows-only (no SQL twin): codec_footer_documents (engine
     # introspection), similarity_lsh_topk (xxhash64), multimodal_features
     # (stub decode)
