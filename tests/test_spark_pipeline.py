@@ -140,6 +140,19 @@ def test_testdata_documents_roundtrip(spark):
     ch.unpersist()
 
 
+def test_int32_and_timestamp_roundtrip(spark):
+    """Narrow ints (int32) and timestamps keep their exact Spark types
+    through the codec stack (customer/orders have INTEGER columns)."""
+    df = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    ch = encode_chunks(df, key_cols=["c_custkey"], num_chunks=3)
+    schema = ("c_custkey long, c_name string, c_nationkey int, "
+              "c_acctbal double, c_mktsegment string")
+    rebuilt = decode_table(ch, df.columns, schema)
+    assert rebuilt.schema == df.schema
+    assert rebuilt.exceptAll(df).count() == 0
+    assert df.exceptAll(rebuilt).count() == 0
+
+
 def test_nulls_roundtrip(spark):
     df = spark.createDataFrame(
         [(1, "a", 1.5), (2, None, None), (None, "c", 2.5), (None, None, None)],

@@ -106,28 +106,44 @@ def _append_column_row(rows: dict, chunk_id: int, col: str, arr,
 
 
 def _encode_kernel(columns: list[str], codec_overrides: dict | None):
-    """Build the mapInArrow kernel: partition batches → chunk rows."""
+    """Build the mapInArrow kernel: partition batches → chunk rows.
+
+    Chunks are contiguous after sortWithinPartitions(chunk_id), so the
+    kernel streams: it holds only the current chunk's slices plus one
+    incoming batch — worker memory stays O(chunk), not O(partition),
+    no matter how skewed the partition is.
+    """
     overrides = codec_overrides or {}
 
     def fn(batch_iter):
-        batches = list(batch_iter)
-        if not batches:
-            return
-        tbl = pa.Table.from_batches(batches)
-        if tbl.num_rows == 0:
-            return
-        # chunks were made contiguous by sortWithinPartitions(chunk_id)
-        cid = tbl[CHUNK_ID].combine_chunks().to_numpy()
-        bounds = np.concatenate(
-            ([0], np.flatnonzero(cid[1:] != cid[:-1]) + 1, [len(cid)]))
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            chunk_id = int(cid[s])
-            sub = tbl.slice(s, e - s)
+        carry: list[pa.RecordBatch] = []
+        carry_cid: int | None = None
+
+        def flush(slices, chunk_id):
+            tbl = pa.Table.from_batches(slices)
             rows = {k: [] for k in CHUNK_ARROW_SCHEMA.names}
             for col in columns:
                 _append_column_row(rows, chunk_id, col,
-                                   sub[col].combine_chunks(), overrides)
-            yield pa.RecordBatch.from_pydict(rows, schema=CHUNK_ARROW_SCHEMA)
+                                   tbl[col].combine_chunks(), overrides)
+            return pa.RecordBatch.from_pydict(rows,
+                                              schema=CHUNK_ARROW_SCHEMA)
+
+        for batch in batch_iter:
+            if batch.num_rows == 0:
+                continue
+            cid = batch.column(
+                batch.schema.get_field_index(CHUNK_ID)).to_numpy()
+            bounds = np.concatenate(
+                ([0], np.flatnonzero(cid[1:] != cid[:-1]) + 1, [len(cid)]))
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                seg_cid = int(cid[s])
+                if carry_cid is not None and seg_cid != carry_cid:
+                    yield flush(carry, carry_cid)
+                    carry = []
+                carry_cid = seg_cid
+                carry.append(batch.slice(s, e - s))
+        if carry:
+            yield flush(carry, carry_cid)
 
     return fn
 
