@@ -36,6 +36,44 @@ def test_stream_encode_incremental(spark, tmp_path):
         allc.count()
 
 
+def test_streaming_stateful_dedup(spark, tmp_path):
+    """applyInPandasWithState dedup: duplicates suppressed across
+    micro-batches via the state store."""
+    from varint_rvv_spark.streaming.stateful import streaming_exact_dedup
+
+    src = str(tmp_path / "docs_in")
+    ckpt = str(tmp_path / "dedup_ckpt")
+    out = str(tmp_path / "dedup_out")
+    schema = "doc_id long, text string"
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha"), (4, "gamma")],
+        schema).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        deduped = streaming_exact_dedup(
+            stream, "text",
+            "fingerprint string, doc_id long, text string",
+            ["doc_id", "text"])
+        q = (deduped.writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_once()
+    got1 = {r["text"]: r["doc_id"]
+            for r in spark.read.parquet(out).collect()}
+    assert got1 == {"alpha": 1, "beta": 2, "gamma": 4}
+    # second drop: one new text, two cross-batch duplicates
+    spark.createDataFrame(
+        [(5, "alpha"), (6, "delta"), (7, "beta")],
+        schema).write.mode("append").parquet(src)
+    run_once()
+    got2 = {r["text"]: r["doc_id"]
+            for r in spark.read.parquet(out).collect()}
+    assert got2 == {"alpha": 1, "beta": 2, "gamma": 4, "delta": 6}
+
+
 def test_windowed_metrics_with_watermark(spark, tmp_path):
     """Watermarked windowed rollup over a footer-like stream."""
     import datetime as dt

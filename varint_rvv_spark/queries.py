@@ -527,6 +527,59 @@ FROM (SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
 """
 
 
+def similarity_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k: deterministic coarse centroids
+    (vec_id % 40 == 0), nprobe=1, exact cosine inside the list."""
+    from .operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    centroids = e.filter(F.col("vec_id") % 40 == 0)
+    probes = e.filter(F.col("vec_id").isin(1, 2, 3))
+    return ivf_topk(e, probes, centroids, k=5)
+
+
+SIMILARITY_IVF_SQL = """
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cv
+  FROM embeddings WHERE vec_id % 40 = 0),
+assign AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY ROUND(list_dot_product(e.embedding, c.cv)
+                      / (sqrt(list_dot_product(e.embedding, e.embedding))
+                         * sqrt(list_dot_product(c.cv, c.cv))), 9) DESC,
+                      c.centroid_id ASC) AS rk
+    FROM embeddings e, cent c) t WHERE rk = 1),
+probes AS (
+  SELECT vec_id AS probe_id, embedding AS pv, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY ROUND(list_dot_product(e.embedding, c.cv)
+                      / (sqrt(list_dot_product(e.embedding, e.embedding))
+                         * sqrt(list_dot_product(c.cv, c.cv))), 9) DESC,
+                      c.centroid_id ASC) AS rk
+    FROM embeddings e, cent c WHERE e.vec_id IN (1, 2, 3)) t
+  WHERE rk = 1)
+SELECT probe_id, vec_id, cosine, rk FROM (
+  SELECT p.probe_id, a.vec_id,
+         ROUND(list_dot_product(a.embedding, p.pv)
+               / (sqrt(list_dot_product(a.embedding, a.embedding))
+                  * sqrt(list_dot_product(p.pv, p.pv))), 5) AS cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.probe_id
+           ORDER BY ROUND(list_dot_product(a.embedding, p.pv)
+                    / (sqrt(list_dot_product(a.embedding, a.embedding))
+                       * sqrt(list_dot_product(p.pv, p.pv))), 5) DESC,
+                    a.vec_id ASC) AS rk
+  FROM assign a JOIN probes p USING (centroid_id)
+  WHERE a.vec_id <> p.probe_id) t
+WHERE rk <= 5
+"""
+
+
 def similarity_lsh_topk(spark, sf_dir):
     """Sign-LSH bucketed approximate top-k (rows-only: xxhash64 has no
     DuckDB twin)."""
@@ -834,6 +887,7 @@ QUERIES = {
     "text_token_counts": text_token_counts,
     "text_fingerprint_dupes": text_fingerprint_dupes,
     "similarity_lsh_topk": similarity_lsh_topk,
+    "similarity_ivf_topk": similarity_ivf_topk,
     "multimodal_features": multimodal_features,
     "events_json_props": events_json_props,
     "part_scalar_math": part_scalar_math,
@@ -878,6 +932,7 @@ ORACLES = {
     "orders_rollup": ORDERS_ROLLUP_SQL,
     "string_date_functions": STRING_DATE_SQL,
     "global_dict_roundtrip": GLOBAL_DICT_SQL,
+    "similarity_ivf_topk": SIMILARITY_IVF_SQL,
     # rows-only (no SQL twin): codec_footer_documents (engine
     # introspection), similarity_lsh_topk (xxhash64), multimodal_features
     # (stub decode)
