@@ -138,6 +138,22 @@ def test_auto_select_picks_sensible_codecs():
     assert C.select_codec(small_range, B.DT_I64) == B.BITPACK
 
 
+def test_float_bit_identity_negzero_and_nan():
+    """DICT/RLE on floats must be bit-exact: -0.0 vs +0.0 and distinct
+    NaN payloads survive (float == would collapse them)."""
+    nan1 = np.frombuffer(np.uint64(0x7FF8000000000001).tobytes(),
+                         dtype=np.float64)[0]
+    nan2 = np.frombuffer(np.uint64(0x7FF8000000000002).tobytes(),
+                         dtype=np.float64)[0]
+    vals = np.array([0.0, -0.0, 1.5, -0.0, 0.0, nan1, nan2, nan1],
+                    dtype=np.float64)
+    for codec in [B.DICT, B.RLE, B.RAW, B.ZSTD]:
+        out = C.decode_values(C.encode_blob(codec, B.DT_F64, vals))
+        np.testing.assert_array_equal(out.view(np.uint64),
+                                      vals.view(np.uint64),
+                                      err_msg=B.CODEC_NAMES[codec])
+
+
 @settings(max_examples=60, deadline=None)
 @given(st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1),
                 max_size=200))

@@ -41,7 +41,7 @@ def test_decode_verify_has_no_shuffle(spark, pages):
 
 
 def test_resume_antijoin_is_broadcast(spark, pages):
-    footer = spark.createDataFrame([(0,)], "chunk_id long")
+    footer = spark.createDataFrame([(0, 4)], "chunk_id long, num_chunks long")
     df = encode_chunks(pages, key_cols=["url"], num_chunks=4,
                        done_footer=footer)
     plan = plan_of(df)

@@ -140,6 +140,18 @@ def test_testdata_documents_roundtrip(spark):
     ch.unpersist()
 
 
+def test_resume_rejects_num_chunks_mismatch(spark, pages, chunks):
+    """Resuming with a different num_chunks would silently drop rows —
+    the engine must refuse, and must inherit N from the footer."""
+    footer = footer_of(chunks)
+    with pytest.raises(ValueError, match="differs from the footer"):
+        encode_chunks(pages, key_cols=["url"], num_chunks=16,
+                      done_footer=footer)
+    # inheriting N from the footer works without an explicit num_chunks
+    again = encode_chunks(pages, key_cols=["url"], done_footer=footer)
+    assert again.count() == 0
+
+
 def test_int32_and_timestamp_roundtrip(spark):
     """Narrow ints (int32) and timestamps keep their exact Spark types
     through the codec stack (customer/orders have INTEGER columns)."""

@@ -128,6 +128,14 @@ def dec_zstd(payload, n: int, dtype_code: int):
 # codes: uint32 positions into the unique-values blob, BITPACKed;
 # numeric uniques are sorted → DELTA_VARINT shines on them.
 
+def _float_bits_view(values: np.ndarray, dtype_code: int):
+    """Bijective integer view of float values so -0.0/+0.0 and distinct
+    NaN payloads stay distinct (bit-identity contract)."""
+    np_dt = B.NUMERIC_NP[dtype_code]
+    u = np.dtype(f"<u{np_dt.itemsize}")
+    return np.ascontiguousarray(values, dtype=np_dt).view(u)
+
+
 def dict_parts(values, dtype_code: int):
     """Return (codes uint32 ndarray, unique values) — vectorized."""
     if B.is_varlen(dtype_code):
@@ -136,7 +144,15 @@ def dict_parts(values, dtype_code: int):
         codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.uint32)
         uniq = pa_to_varlen(denc.dictionary)
         return codes, uniq
-    uniq, inv = np.unique(np.ascontiguousarray(values), return_inverse=True)
+    v = np.ascontiguousarray(values)
+    if B.NUMERIC_NP[dtype_code].kind == "f":
+        # dedupe on bit patterns: NaN != NaN and -0.0 == 0.0 under
+        # float compare would otherwise break bit-exact reconstruction
+        bits = _float_bits_view(v, dtype_code)
+        uniq_bits, inv = np.unique(bits, return_inverse=True)
+        uniq = uniq_bits.view(B.NUMERIC_NP[dtype_code])
+        return inv.astype(np.uint32), uniq
+    uniq, inv = np.unique(v, return_inverse=True)
     return inv.astype(np.uint32), uniq
 
 
@@ -176,6 +192,8 @@ def run_bounds(values, dtype_code: int) -> np.ndarray:
         ne = pc.not_equal(arr.slice(1), arr.slice(0, n - 1))
         return ne.to_numpy(zero_copy_only=False).astype(bool)
     v = np.ascontiguousarray(values)
+    if B.NUMERIC_NP[dtype_code].kind == "f":
+        v = _float_bits_view(v, dtype_code)  # bit-exact run detection
     return v[1:] != v[:-1]
 
 

@@ -63,6 +63,8 @@ def column_stats(values, dtype_code: int) -> dict:
         return stats
     idx = _sample_idx(n, _sample_k(dtype_code, values))
     sample = _take(values, dtype_code, idx)
+    stats["_sample"] = sample  # reused by select_codec (stripped from
+    # stats_json by the kernels' int/float filter)
     if B.is_varlen(dtype_code):
         from .composite import varlen_to_pa
 
@@ -123,9 +125,11 @@ def select_codec(values, dtype_code: int, stats: dict | None = None) -> int:
     if n == 0:
         return B.RAW
     stats = stats or column_stats(values, dtype_code)
-    idx = _sample_idx(n, _sample_k(dtype_code, values))
-    sample = _take(values, dtype_code, idx)
-    scale = n / len(sample)
+    sample = stats.get("_sample")
+    if sample is None:
+        idx = _sample_idx(n, _sample_k(dtype_code, values))
+        sample = _take(values, dtype_code, idx)
+    scale = n / max(len(sample), 1)
     cand: dict[int, float] = {}
     if B.is_varlen(dtype_code):
         raw_bytes = values.nbytes
@@ -149,8 +153,9 @@ def select_codec(values, dtype_code: int, stats: dict | None = None) -> int:
         if stats["card_ratio"] < 0.2:
             cand[B.DICT] = _trial_size(B.DICT, sample, dtype_code, scale)
     else:
-        cand.update({k: float(v) for k, v in
-                     _exact_int_sizes(values, dtype_code).items()})
+        exact = _exact_int_sizes(values, dtype_code)
+        stats["_exact_int_sizes"] = exact  # reused by encode_auto
+        cand.update({k: float(v) for k, v in exact.items()})
         cand[B.RAW] = float(np.ascontiguousarray(values).nbytes)
         if stats["card_ratio"] < 0.1:
             cand[B.DICT] = _trial_size(B.DICT, sample, dtype_code, scale)
@@ -178,7 +183,8 @@ def encode_auto(values, dtype_code: int, stats: dict | None = None):
     if (not B.is_varlen(dtype_code)
             and B.NUMERIC_NP[dtype_code].kind in "iu"
             and codec_id not in (B.VARINT, B.DELTA_VARINT, B.BITPACK)):
-        exact = _exact_int_sizes(values, dtype_code)
+        exact = stats.get("_exact_int_sizes") or _exact_int_sizes(
+            values, dtype_code)
         best_exact = min(exact, key=exact.get)
         if len(out) - B.HEADER_LEN > exact[best_exact]:
             codec_id = best_exact

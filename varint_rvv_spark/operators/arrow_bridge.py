@@ -45,7 +45,11 @@ def arrow_to_values(arr: pa.Array):
         if t.unit != "us":
             arr = arr.cast(pa.timestamp("us", tz=t.tz))
         arr = arr.cast(pa.int64())
-        logical = LT_TIMESTAMP_US
+        # carry the tz so decode rebuilds the exact arrow type — a
+        # naive reconstruction would be re-interpreted as session-local
+        # wall time in non-UTC sessions (silent value shift)
+        logical = (f"{LT_TIMESTAMP_US}:{t.tz}" if t.tz
+                   else LT_TIMESTAMP_US)
         return arr.to_numpy(zero_copy_only=False), B.DT_I64, logical, validity
     if pa.types.is_integer(t) or pa.types.is_floating(t):
         code = {
@@ -85,6 +89,9 @@ def values_to_arrow(values, dtype_code: int, logical: str,
         arr = pa.array(values)
     if logical == LT_TIMESTAMP_US:
         arr = arr.cast(pa.timestamp("us"))
+    elif logical.startswith(LT_TIMESTAMP_US + ":"):
+        arr = arr.cast(pa.timestamp(
+            "us", tz=logical.split(":", 1)[1]))
     if validity:
         n = len(arr)
         mask = np.unpackbits(np.frombuffer(validity, dtype=np.uint8),

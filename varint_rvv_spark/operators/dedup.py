@@ -104,20 +104,20 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                       F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"),
                       F.col("n_sh").alias("n_b"))
+    raw_j = (F.col("n_inter")
+             / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
     return (inter.join(sa, "id_a").join(sb, "id_b")
-            .withColumn("jaccard",
-                        F.round(F.col("n_inter")
-                                / (F.col("n_a") + F.col("n_b")
-                                   - F.col("n_inter")), 5))
-            .filter(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard"))
+            .filter(raw_j >= threshold)  # unrounded, like the SQL oracle
+            .select("id_a", "id_b", F.round(raw_j, 5).alias("jaccard")))
 
 
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash from token md5s — pure bit arithmetic, no UDF.
+    """60-bit SimHash from token md5s — pure bit arithmetic, no UDF.
 
-    Token hash = first 16 hex chars of md5(token) as a 64-bit int;
-    fingerprint bit b = sign of Σ_tokens (±1 depending on hash bit b).
+    Token hash = first 15 hex chars of md5(token) as a 60-bit int
+    (15, not 16: 60 bits always fits signed BIGINT, which the DuckDB
+    oracle's CAST requires); fingerprint bit b = sign of
+    Σ_tokens (±1 depending on hash bit b).
     """
     toks = (df.select(F.col(id_col),
                       F.explode(F.split(F.trim(F.col(text_col)), r"\s+"))

@@ -37,14 +37,15 @@ from .arrow_bridge import arrow_to_values, raw_nbytes, values_sha256
 CHUNK_ID = "_chunk_id"
 
 CHUNK_SPARK_SCHEMA = (
-    "chunk_id long, column string, codec_id int, codec string, "
-    "dtype_code int, logical_type string, n_values long, raw_bytes long, "
-    "encoded_bytes long, value_sha256 string, validity binary, "
-    "payload binary, stats_json string"
+    "chunk_id long, num_chunks long, column string, codec_id int, "
+    "codec string, dtype_code int, logical_type string, n_values long, "
+    "raw_bytes long, encoded_bytes long, value_sha256 string, "
+    "validity binary, payload binary, stats_json string"
 )
 
 CHUNK_ARROW_SCHEMA = pa.schema([
-    ("chunk_id", pa.int64()), ("column", pa.string()),
+    ("chunk_id", pa.int64()), ("num_chunks", pa.int64()),
+    ("column", pa.string()),
     ("codec_id", pa.int32()), ("codec", pa.string()),
     ("dtype_code", pa.int32()), ("logical_type", pa.string()),
     ("n_values", pa.int64()), ("raw_bytes", pa.int64()),
@@ -52,10 +53,6 @@ CHUNK_ARROW_SCHEMA = pa.schema([
     ("validity", pa.binary()), ("payload", pa.binary()),
     ("stats_json", pa.string()),
 ])
-
-FOOTER_COLUMNS = [c for c in CHUNK_SPARK_SCHEMA.split(", ")
-                  if not c.startswith(("payload", "validity"))]
-
 
 def assign_chunks(df: DataFrame, key_cols: list[str],
                   num_chunks: int) -> DataFrame:
@@ -65,7 +62,7 @@ def assign_chunks(df: DataFrame, key_cols: list[str],
 
 
 def _append_column_row(rows: dict, chunk_id: int, col: str, arr,
-                       overrides: dict) -> None:
+                       overrides: dict, num_chunks: int = -1) -> None:
     """Encode one column of one chunk and append its footer row.
 
     stats_json carries the codec-selection stats plus the per-chunk
@@ -91,6 +88,7 @@ def _append_column_row(rows: dict, chunk_id: int, col: str, arr,
                            minlength=11)[1:]
         out_stats["varint_len_hist"] = [int(x) for x in hist]
     rows["chunk_id"].append(chunk_id)
+    rows["num_chunks"].append(num_chunks)
     rows["column"].append(col)
     rows["codec_id"].append(codec_id)
     rows["codec"].append(B.CODEC_NAMES[codec_id])
@@ -105,7 +103,8 @@ def _append_column_row(rows: dict, chunk_id: int, col: str, arr,
     rows["stats_json"].append(json.dumps(out_stats, sort_keys=True))
 
 
-def _encode_kernel(columns: list[str], codec_overrides: dict | None):
+def _encode_kernel(columns: list[str], codec_overrides: dict | None,
+                   num_chunks: int):
     """Build the mapInArrow kernel: partition batches → chunk rows.
 
     Chunks are contiguous after sortWithinPartitions(chunk_id), so the
@@ -124,7 +123,8 @@ def _encode_kernel(columns: list[str], codec_overrides: dict | None):
             rows = {k: [] for k in CHUNK_ARROW_SCHEMA.names}
             for col in columns:
                 _append_column_row(rows, chunk_id, col,
-                                   tbl[col].combine_chunks(), overrides)
+                                   tbl[col].combine_chunks(), overrides,
+                                   num_chunks)
             return pa.RecordBatch.from_pydict(rows,
                                               schema=CHUNK_ARROW_SCHEMA)
 
@@ -159,10 +159,27 @@ def encode_chunks(df: DataFrame, key_cols: list[str] | None = None,
     done_footer: an existing footer DataFrame — its chunk_ids are
     skipped *before the shuffle* (left_anti join), which is the
     checkpoint-resume path: finished chunks cost a scan, not a shuffle
-    or an encode.
+    or an encode.  chunk ids are only comparable across runs when
+    num_chunks matches, so on resume it is inherited from (and
+    validated against) the footer — a mismatch would silently drop
+    never-encoded rows.
     """
     columns = columns or df.columns
     key_cols = key_cols or [columns[0]]
+    if done_footer is not None:
+        prior = [r[0] for r in
+                 done_footer.select("num_chunks").distinct().collect()]
+        if len(prior) != 1 or prior[0] is None or prior[0] < 0:
+            raise ValueError(
+                f"done_footer has inconsistent or non-hash-mode "
+                f"num_chunks {prior}; cannot resume safely")
+        if num_chunks is None:
+            num_chunks = int(prior[0])
+        elif num_chunks != prior[0]:
+            raise ValueError(
+                f"num_chunks={num_chunks} differs from the footer's "
+                f"{prior[0]}; resuming would reassign chunk ids and "
+                f"drop rows")
     if num_chunks is None:
         num_chunks = max(df.rdd.getNumPartitions(), 1)
     keyed = assign_chunks(df.select(*columns), key_cols, num_chunks)
@@ -174,7 +191,8 @@ def encode_chunks(df: DataFrame, key_cols: list[str] | None = None,
     order = [CHUNK_ID] + (sort_cols or key_cols)
     shuffled = shuffled.sortWithinPartitions(*order)
     return shuffled.mapInArrow(
-        _encode_kernel(columns, codec_overrides), CHUNK_SPARK_SCHEMA)
+        _encode_kernel(columns, codec_overrides, num_chunks),
+        CHUNK_SPARK_SCHEMA)
 
 
 def footer_of(chunks: DataFrame) -> DataFrame:

@@ -58,9 +58,9 @@ def hyperplane_signs(df: DataFrame, vec_col: str = "embedding",
     for p in range(n_planes):
         w = F.zip_with(
             F.col(vec_col), dims,
-            lambda x, i: x * ((F.xxhash64(i.cast("string"),
-                                          F.lit(f"plane{p}:{seed}"))
-                               % 1000).cast("double") - 499.5))
+            lambda x, i: x * (F.pmod(F.xxhash64(i.cast("string"),
+                                                F.lit(f"plane{p}:{seed}")),
+                                     F.lit(1000)).cast("double") - 499.5))
         proj = F.aggregate(w, F.lit(0.0), lambda a, x: a + x)
         sign_bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
                          * F.lit(1 << p))

@@ -35,14 +35,20 @@ def stream_encode_parquet_dir(spark: SparkSession, input_dir: str,
            .parquet(input_dir))
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        # chunk ids namespaced per epoch (bit-shifted: scan-mode ids are
+        # pid*1e6+ordinal < 2^40 for any real partition count), and
+        # each epoch written to its own subdirectory with overwrite —
+        # a replayed epoch (worker death between write and checkpoint
+        # commit) overwrites byte-identically instead of appending
+        # duplicates: idempotent, not just at-least-once.
         chunks = encode_chunks_scan(batch_df)
         chunks = chunks.withColumn(
             "chunk_id",
-            F.col("chunk_id") + F.lit(int(epoch_id) * 10_000_000_000))
-        (chunks.write.mode("append").partitionBy("column")
-         .parquet(f"{output_root}/chunks"))
-        footer_of(chunks).write.mode("append") \
-            .parquet(f"{output_root}/footer")
+            F.col("chunk_id") + F.lit(int(epoch_id) << 40))
+        (chunks.write.mode("overwrite").partitionBy("column")
+         .parquet(f"{output_root}/chunks/epoch={int(epoch_id)}"))
+        footer_of(chunks).write.mode("overwrite") \
+            .parquet(f"{output_root}/footer/epoch={int(epoch_id)}")
 
     writer = (src.writeStream.foreachBatch(sink)
               .option("checkpointLocation", checkpoint))
