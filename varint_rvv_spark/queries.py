@@ -624,6 +624,32 @@ FROM events
 """
 
 
+def rt_documents_forced_codecs(spark, sf_dir):
+    """Round-trip with forced codecs (overrides path): FSST on source,
+    RLE on lang, VARINT on n_chars — exercises every codec through the
+    Spark pipeline even where auto-selection would pick another."""
+    from .codecs import blob as CB
+    from .operators.encode import encode_chunks as enc
+
+    df = _t(spark, sf_dir, "documents")
+    chunks = enc(df, key_cols=["doc_id"], num_chunks=6,
+                 sort_cols=["lang", "doc_id"],
+                 codec_overrides={"source": CB.FSST, "lang": CB.RLE,
+                                  "n_chars": CB.VARINT})
+    d = decode_table(chunks, df.columns, TABLE_SCHEMAS["documents"])
+    return (d.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.countDistinct("lang").alias("n_langs"),
+                 F.sum("n_chars").alias("sum_chars")))
+
+
+RT_FORCED_CODECS_SQL = """
+SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT lang) AS n_langs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY source
+"""
+
+
 def tpch_q5ish_region_revenue(spark, sf_dir):
     """Multi-join star query with region filter (q5 shape)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -895,6 +921,7 @@ QUERIES = {
     "customer_median_balance": customer_median_balance,
     "text_quality_by_lang": text_quality_by_lang,
     "rt_events_scanmode": rt_events_scanmode,
+    "rt_documents_forced_codecs": rt_documents_forced_codecs,
     "tpch_q5ish_region_revenue": tpch_q5ish_region_revenue,
     "orders_rollup": orders_rollup,
     "string_date_functions": string_date_functions,
@@ -928,6 +955,7 @@ ORACLES = {
     "customer_median_balance": CUSTOMER_MEDIAN_SQL,
     "text_quality_by_lang": TEXT_QUALITY_SQL,
     "rt_events_scanmode": RT_EVENTS_SCANMODE_SQL,
+    "rt_documents_forced_codecs": RT_FORCED_CODECS_SQL,
     "tpch_q5ish_region_revenue": TPCH_Q5ISH_SQL,
     "orders_rollup": ORDERS_ROLLUP_SQL,
     "string_date_functions": STRING_DATE_SQL,
