@@ -140,6 +140,26 @@ def test_testdata_documents_roundtrip(spark):
     ch.unpersist()
 
 
+def test_decode_table_contiguous_matches_shuffle_path(spark, pages,
+                                                      chunks):
+    """Zero-shuffle decode_table (contiguous=True) rebuilds the same
+    table as the groupBy path, with no Exchange in its plan."""
+    shuffled = decode_table(chunks, pages.columns, PAGES_SCHEMA)
+    contig = decode_table(chunks, pages.columns, PAGES_SCHEMA,
+                          contiguous=True)
+    # the encode lineage contributes one Exchange to both plans; the
+    # groupBy path adds a second, the contiguous path adds none
+    def n_exchanges(df):
+        return df._jdf.queryExecution().executedPlan().toString() \
+            .count("Exchange")
+    assert n_exchanges(contig) == n_exchanges(shuffled) - 1
+    a = shuffled.select("url", F.sha2("html", 256).alias("h"), "lang")
+    b = contig.select("url", F.sha2("html", 256).alias("h"), "lang")
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    assert contig.count() == N_PAGES
+
+
 def test_resume_rejects_num_chunks_mismatch(spark, pages, chunks):
     """Resuming with a different num_chunks would silently drop rows —
     the engine must refuse, and must inherit N from the footer."""

@@ -78,14 +78,23 @@ def verify_roundtrip(chunks: DataFrame) -> tuple[int, int]:
 
 
 def decode_table(chunks: DataFrame, columns: list[str],
-                 spark_schema: str) -> DataFrame:
+                 spark_schema: str, contiguous: bool = False) -> DataFrame:
     """Reconstruct the original table from chunk blobs.
 
-    One shuffle (groupBy chunk_id) to co-locate a chunk's column blobs,
-    then a vectorized rebuild per chunk via applyInPandas.  Row order
-    within a chunk is preserved by every codec, so columns re-align
-    positionally.
+    Two plans (row order within a chunk is preserved by every codec,
+    so columns re-align positionally either way):
+
+    * contiguous=False (default): one shuffle (groupBy chunk_id)
+      co-locates a chunk's column blobs — required when chunks come
+      from the column-partitioned sink, where a chunk's rows live in
+      different files.
+    * contiguous=True: zero-shuffle mapInArrow — valid whenever each
+      chunk's column rows are adjacent in partition order, which holds
+      for chunks straight out of encode_chunks/encode_chunks_scan.
+      This is the 100 TB decode path: Scan → kernel, no data movement.
     """
+    if contiguous:
+        return _decode_table_contiguous(chunks, columns, spark_schema)
     import pandas as pd
 
     def rebuild(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -102,3 +111,49 @@ def decode_table(chunks: DataFrame, columns: list[str],
                     "payload")
             .groupBy("chunk_id")
             .applyInPandas(rebuild, spark_schema))
+
+
+def _decode_table_contiguous(chunks: DataFrame, columns: list[str],
+                             spark_schema: str) -> DataFrame:
+    """Shuffle-free rebuild: accumulate each chunk's contiguous column
+    rows within the partition stream (same pattern as the encode
+    kernel), emit one original-schema batch per chunk."""
+    need = set(columns)
+
+    def fn(batch_iter):
+        pending: dict = {}
+        pending_cid = None
+
+        def flush(rows):
+            arrays = {}
+            for col, (payload, logical, validity) in rows.items():
+                values, _, dt = B.decode_blob(payload)
+                arr = values_to_arrow(values, dt, logical, validity)
+                if pa.types.is_large_string(arr.type):
+                    arr = arr.cast(pa.string())
+                elif pa.types.is_large_binary(arr.type):
+                    arr = arr.cast(pa.binary())
+                arrays[col] = arr
+            return pa.RecordBatch.from_arrays(
+                [arrays[c] for c in columns], names=list(columns))
+
+        for batch in batch_iter:
+            d = batch.to_pydict()
+            for i in range(batch.num_rows):
+                cid = d["chunk_id"][i]
+                if pending_cid is not None and cid != pending_cid \
+                        and pending:
+                    yield flush(pending)
+                    pending = {}
+                pending_cid = cid
+                if d["column"][i] in need:
+                    pending[d["column"][i]] = (
+                        d["payload"][i], d["logical_type"][i],
+                        bytes(d["validity"][i] or b""))
+        if pending:
+            yield flush(pending)
+
+    return (chunks
+            .select("chunk_id", "column", "logical_type", "validity",
+                    "payload")
+            .mapInArrow(fn, spark_schema))

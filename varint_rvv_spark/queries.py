@@ -608,7 +608,10 @@ def rt_events_scanmode(spark, sf_dir):
 
     df = _t(spark, sf_dir, "events")
     chunks = encode_chunks_scan(df, rows_per_chunk=4096)
-    d = decode_table(chunks, df.columns, TABLE_SCHEMAS["events"])
+    # chunks straight out of encode are chunk-contiguous → the whole
+    # encode+decode round trip runs with zero shuffles
+    d = decode_table(chunks, df.columns, TABLE_SCHEMAS["events"],
+                     contiguous=True)
     return (d.agg(F.count("*").alias("n_events"),
                   F.sum("event_id").alias("sum_ids"),
                   F.min(F.unix_micros("ts")).alias("min_ts_us"),
