@@ -185,6 +185,27 @@ def test_int32_and_timestamp_roundtrip(spark):
     assert df.exceptAll(rebuilt).count() == 0
 
 
+def test_nan_vs_null_roundtrip(spark):
+    """NaN-the-value and NULL are distinct through decode_table in both
+    modes (pandas cannot represent this — the rebuild must stay in
+    Arrow)."""
+    df = spark.createDataFrame(
+        [(1, float("nan")), (2, None), (3, 1.5), (4, float("inf")),
+         (5, -0.0)], "k long, v double")
+    for contiguous, ch in [
+            (False, encode_chunks(df, key_cols=["k"], num_chunks=2)),
+            (True, __import__("varint_rvv_spark.operators.encode",
+                              fromlist=["encode_chunks_scan"])
+             .encode_chunks_scan(df))]:
+        back = decode_table(ch, ["k", "v"], "k long, v double",
+                            contiguous=contiguous)
+        got = {r["k"]: r["v"] for r in back.collect()}
+        assert got[2] is None, contiguous
+        assert got[1] is not None and got[1] != got[1], contiguous  # NaN
+        assert got[4] == float("inf")
+        assert got[3] == 1.5
+
+
 def test_nulls_roundtrip(spark):
     df = spark.createDataFrame(
         [(1, "a", 1.5), (2, None, None), (None, "c", 2.5), (None, None, None)],

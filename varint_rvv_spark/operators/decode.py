@@ -95,22 +95,51 @@ def decode_table(chunks: DataFrame, columns: list[str],
     """
     if contiguous:
         return _decode_table_contiguous(chunks, columns, spark_schema)
-    import pandas as pd
 
-    def rebuild(pdf: pd.DataFrame) -> pd.DataFrame:
-        series = {}
-        for _, row in pdf.iterrows():
-            values, _, dt = B.decode_blob(row["payload"])
-            arr = values_to_arrow(values, dt, row["logical_type"],
-                                  bytes(row["validity"] or b""))
-            series[row["column"]] = arr.to_pandas()
-        return pd.DataFrame({c: series[c] for c in columns})
+    # Spark quirk: applyInArrow expects timestamp[us, tz=<session tz>]
+    # for TimestampType fields but naive timestamp[us] for NTZ fields;
+    # attaching/stripping the tz is metadata-only (values stay epoch-µs)
+    from pyspark.sql.types import TimestampType, _parse_datatype_string
 
+    session_tz = chunks.sparkSession.conf.get(
+        "spark.sql.session.timeZone", "UTC")
+    struct = _parse_datatype_string(spark_schema)
+    ts_tz = {f.name: pa.timestamp("us", tz=session_tz)
+             if isinstance(f.dataType, TimestampType)
+             else pa.timestamp("us")
+             for f in struct.fields}
+
+    def rebuild(tbl: pa.Table) -> pa.Table:
+        d = tbl.to_pydict()
+        arrays = {}
+        for col, payload, logical, validity in zip(
+                d["column"], d["payload"], d["logical_type"],
+                d["validity"]):
+            values, _, dt = B.decode_blob(payload)
+            arr = _cast_narrow(values_to_arrow(
+                values, dt, logical, bytes(validity or b"")))
+            if pa.types.is_timestamp(arr.type):
+                arr = arr.cast(ts_tz[col])
+            arrays[col] = arr
+        return pa.table({c: arrays[c] for c in columns})
+
+    # applyInArrow (not applyInPandas): pandas float columns cannot
+    # represent NaN-the-value distinctly from null, which would turn
+    # decoded NaNs into NULLs
     return (chunks
             .select("chunk_id", "column", "logical_type", "validity",
                     "payload")
             .groupBy("chunk_id")
-            .applyInPandas(rebuild, spark_schema))
+            .applyInArrow(rebuild, spark_schema))
+
+
+def _cast_narrow(arr: pa.Array) -> pa.Array:
+    """large_string/large_binary → string/binary (Spark's arrow types)."""
+    if pa.types.is_large_string(arr.type):
+        return arr.cast(pa.string())
+    if pa.types.is_large_binary(arr.type):
+        return arr.cast(pa.binary())
+    return arr
 
 
 def _decode_table_contiguous(chunks: DataFrame, columns: list[str],
@@ -128,11 +157,11 @@ def _decode_table_contiguous(chunks: DataFrame, columns: list[str],
             arrays = {}
             for col, (payload, logical, validity) in rows.items():
                 values, _, dt = B.decode_blob(payload)
-                arr = values_to_arrow(values, dt, logical, validity)
-                if pa.types.is_large_string(arr.type):
-                    arr = arr.cast(pa.string())
-                elif pa.types.is_large_binary(arr.type):
-                    arr = arr.cast(pa.binary())
+                arr = _cast_narrow(
+                    values_to_arrow(values, dt, logical, validity))
+                if pa.types.is_timestamp(arr.type) and arr.type.tz:
+                    # mapInArrow expects naive (metadata-only strip)
+                    arr = arr.cast(pa.timestamp("us"))
                 arrays[col] = arr
             return pa.RecordBatch.from_arrays(
                 [arrays[c] for c in columns], names=list(columns))
