@@ -65,6 +65,30 @@ def test_filter_pushdown_reaches_parquet_scan(spark):
     assert "l_extendedprice" not in plan.split("ReadSchema")[1][:200]
 
 
+def test_word_shingles_is_map_side(spark):
+    """Shingle building must not shuffle or sort the token stream."""
+    from varint_rvv_spark.operators.dedup import word_shingles
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(word_shingles(docs, "doc_id", "text", k=3))
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+    assert "Sort" not in plan
+
+
+def test_roundtrip_has_exactly_one_shuffle(spark):
+    """encode → contiguous decode: the encode repartition is the ONLY
+    Exchange in the whole round-trip plan."""
+    from varint_rvv_spark.operators.decode import decode_table
+    from varint_rvv_spark.queries import TABLE_SCHEMAS
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    chunks = encode_chunks(df, key_cols=["doc_id"], num_chunks=4)
+    out = decode_table(chunks, df.columns, TABLE_SCHEMAS["documents"],
+                       contiguous=True)
+    assert plan_of(out).count("Exchange") == 1
+
+
 def test_chunk_column_partition_pruning(spark, pages, tmp_path):
     from varint_rvv_spark.sources.tables import read_chunks, write_encoded
 

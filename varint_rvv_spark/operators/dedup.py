@@ -31,17 +31,24 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def word_shingles(df: DataFrame, id_col: str, text_col: str,
                   k: int = 3) -> DataFrame:
-    """Distinct word k-shingles per document (vectorized explode)."""
+    """Distinct word k-shingles per document — fully map-side.
+
+    k-grams are built inside the token *array* (`transform` over a
+    start-index `sequence` + `slice` + `array_join`), then
+    `array_distinct` dedups within the document before the explode, so
+    the output rows are already unique per (id, shingle).  Zero
+    shuffles, zero window functions: at 100 TB this stage is pure
+    scan-side compute, vs the old posexplode+Window plan that shuffled
+    and sorted every token of every document.
+    """
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    out = df.select(F.col(id_col), F.posexplode(toks).alias("pos", "tok"))
-    parts = [F.lead("tok", i).over(
-        __import__("pyspark.sql.window", fromlist=["Window"])
-        .Window.partitionBy(id_col).orderBy("pos")) for i in range(1, k)]
-    shingle = F.concat_ws(" ", F.col("tok"), *parts)
-    return (out.select(id_col, shingle.alias("shingle"))
-            .filter(F.col("shingle").isNotNull()
-                    & (F.size(F.split(F.col("shingle"), " ")) == k))
-            .distinct())
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.array_join(F.slice(toks, i, k), " "))
+    arr = F.when(n >= k, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>"))
+    return df.select(F.col(id_col), F.explode(arr).alias("shingle"))
 
 
 def minhash_signatures(shingles: DataFrame, id_col: str,

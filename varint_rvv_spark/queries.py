@@ -40,7 +40,11 @@ def _roundtrip(spark: SparkSession, sf_dir: str, name: str,
                key: str) -> DataFrame:
     df = _t(spark, sf_dir, name)
     chunks = encode_chunks(df, key_cols=[key], num_chunks=8)
-    return decode_table(chunks, df.columns, TABLE_SCHEMAS[name])
+    # chunks straight out of encode_chunks are chunk-contiguous within
+    # each partition stream, so the zero-shuffle decode path is valid:
+    # the whole round-trip has exactly one Exchange (the encode shuffle)
+    return decode_table(chunks, df.columns, TABLE_SCHEMAS[name],
+                        contiguous=True)
 
 
 # ---------- engine round-trip queries ----------
