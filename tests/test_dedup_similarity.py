@@ -1,0 +1,92 @@
+"""Dedup/similarity operator tests: recall on planted near-duplicates,
+plan shapes (no cartesian in the default paths), and shingle semantics.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from varint_rvv_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    word_shingles,
+)
+from varint_rvv_spark.operators.similarity import (
+    cosine_topk,
+    lsh_cosine_topk,
+    plane_weights,
+)
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """80 vectors: 40 random bases + a near-identical twin for each
+    (cos > 0.9999).  True near-dup pairs are exactly (2i, 2i+1)."""
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(40):
+        base = rng.normal(size=64)
+        base /= np.linalg.norm(base)
+        twin = base + rng.normal(size=64) * 0.003
+        twin /= np.linalg.norm(twin)
+        rows.append((2 * i, [float(x) for x in base]))
+        rows.append((2 * i + 1, [float(x) for x in twin]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    df.cache().count()
+    return df
+
+
+def test_bucketed_neardup_recall_on_planted_dupes(spark, planted):
+    truth = {(r.id_a, r.id_b) for r in embedding_neardup_pairs(
+        planted, threshold=0.95, brute_force=True).collect()}
+    assert len(truth) >= 40  # every planted twin pair is above 0.95
+    got = {(r.id_a, r.id_b) for r in embedding_neardup_pairs(
+        planted, threshold=0.95, n_planes=4, dim=64).collect()}
+    assert got <= truth  # bucketing never invents pairs
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.85, f"recall {recall:.2f}"
+
+
+def test_bucketed_neardup_has_no_cartesian(spark, planted):
+    plan = plan_of(embedding_neardup_pairs(planted, threshold=0.95))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lsh_topk_multiprobe_recall(spark, planted):
+    """Each probe's true #1 neighbor (its twin) must be found."""
+    probes = planted.filter(F.col("vec_id").isin(0, 2, 4, 6, 8, 10))
+    exact = cosine_topk(planted, probes, k=1).collect()
+    approx = lsh_cosine_topk(planted, probes, k=1, n_planes=6,
+                             dim=64, n_flip=2).collect()
+    exact_top = {(r.probe_id, r.vec_id) for r in exact}
+    approx_top = {(r.probe_id, r.vec_id) for r in approx}
+    recall = len(exact_top & approx_top) / len(exact_top)
+    assert recall >= 0.8, f"recall@1 {recall:.2f}"
+
+
+def test_plane_weights_deterministic_and_centered():
+    w = plane_weights(4, 64, seed=7)
+    assert w == plane_weights(4, 64, seed=7)
+    flat = [x for row in w for x in row]
+    assert all(-2047.5 <= x <= 2048.5 for x in flat)
+    assert abs(sum(flat) / len(flat)) < 300  # roughly centered
+    assert all(x == int(x) + 0.5 or x == int(x) - 0.5 or x * 2 % 1 == 0
+               for x in flat)  # exact .5-grid doubles
+
+
+def test_word_shingles_matches_naive(spark):
+    docs = [(1, "a b c d e"), (2, "a b"), (3, ""), (4, "x y z x y z"),
+            (5, "  lead and trail  ")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r.doc_id, r.shingle)
+           for r in word_shingles(df, "doc_id", "text", k=3).collect()}
+    want = set()
+    for did, text in docs:
+        toks = text.split()
+        for i in range(len(toks) - 2):
+            want.add((did, " ".join(toks[i:i + 3])))
+    assert got == want

@@ -149,18 +149,33 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def embedding_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
                             vec_col: str = "embedding",
                             threshold: float = 0.95,
-                            sample_mod: int | None = None) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (brute-force baseline).
+                            sample_mod: int | None = None,
+                            n_planes: int = 4, seed: int = 7,
+                            dim: int = 64,
+                            brute_force: bool = False) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs.
 
-    JVM-side zip_with/aggregate dot products.  Scale path: replace the
-    crossJoin with the sign-LSH bucketing in similarity.py.
+    Default path (100 TB shape): sign-LSH bucket each vector once
+    (map-side literal-matrix projections, similarity.plane_weights),
+    then an *equi* self-join on the bucket id — candidate fan-out is
+    per-bucket, never all-pairs.  True near-duplicates (cos ≳ 0.95)
+    agree on almost every sign bit, so per-plane collision probability
+    is 1 - θ/π ≈ 0.9+ and recall stays high (asserted in tests on
+    planted duplicates).  Size 2^n_planes to corpus/bucket-occupancy.
+
+    brute_force=True keeps the exact O(N²) inequality join — the
+    recall oracle for tests, never the default.
     """
+    from .similarity import hyperplane_signs
+
     e = df.select(F.col(id_col), F.col(vec_col))
     if sample_mod:
         e = e.filter(F.col(id_col) % sample_mod == 0)
     norm = F.sqrt(F.aggregate(F.transform(F.col(vec_col), lambda x: x * x),
                               F.lit(0.0), lambda a, x: a + x))
     e = e.withColumn("_norm", norm)
+    if not brute_force:
+        e = hyperplane_signs(e, vec_col, n_planes, seed, dim)
     a = e.alias("a")
     b = e.alias("b")
     dot = F.aggregate(
@@ -168,7 +183,12 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
                    lambda x, y: x * y),
         F.lit(0.0), lambda acc, x: acc + x)
     cos = dot / (F.col("a._norm") * F.col("b._norm"))
-    return (a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    if brute_force:
+        joined = a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    else:
+        joined = a.join(b, "bucket").filter(
+            F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    return (joined
             .select(F.col(f"a.{id_col}").alias("id_a"),
                     F.col(f"b.{id_col}").alias("id_b"),
                     F.round(cos, 5).alias("cosine"))

@@ -44,30 +44,79 @@ def cosine_topk(df: DataFrame, probe_df: DataFrame, k: int = 10,
             .filter(F.col("rk") <= k))
 
 
-def hyperplane_signs(df: DataFrame, vec_col: str = "embedding",
-                     n_planes: int = 8, seed: int = 7,
-                     out_col: str = "bucket") -> DataFrame:
-    """Sign-LSH bucket id from n deterministic pseudo-random planes.
+def plane_weights(n_planes: int, dim: int,
+                  seed: int = 7) -> list[list[float]]:
+    """Deterministic hyperplane matrix from an md5 grid.
 
-    Plane p's weight for dimension d = centered hash of (p, d): uses
-    only built-in xxhash64 → identical across runs and executors, no
-    broadcast of plane matrices needed.
+    Weight(p, d) = (int(md5(f"{seed}:{p}:{d}")[:8 hex], 16) % 4096)
+    - 2047.5 — a centered pseudo-random value computable identically
+    in Python (here), Spark SQL, and DuckDB (the oracle), and exactly
+    representable in a double (x.5 grid).  The matrix is tiny
+    (n_planes × dim doubles) and baked into the plan as literals, so
+    executors pay zero per-row hashing and nothing is broadcast.
     """
-    dims = F.transform(F.col(vec_col), lambda x, i: i)
-    sign_bits = []
+    import hashlib
+
+    return [[int(hashlib.md5(f"{seed}:{p}:{d}".encode())
+                 .hexdigest()[:8], 16) % 4096 - 2047.5
+             for d in range(dim)]
+            for p in range(n_planes)]
+
+
+def hyperplane_projections(df: DataFrame, vec_col: str = "embedding",
+                           n_planes: int = 16, seed: int = 7,
+                           dim: int = 64,
+                           out_col: str = "projs") -> DataFrame:
+    """Per-plane dot products as an array<double> column (map-side).
+
+    `dim` must equal the embedding length — zip_with would otherwise
+    null-pad and poison the fold.
+    """
+    weights = plane_weights(n_planes, dim, seed)
+    projs = [
+        F.aggregate(
+            F.zip_with(F.col(vec_col),
+                       F.array(*[F.lit(w) for w in row]),
+                       lambda x, w: x * w),
+            F.lit(0.0), lambda a, x: a + x)
+        for row in weights]
+    return df.withColumn(out_col, F.array(*projs))
+
+
+def _bucket_expr(n_planes: int, projs_col: str = "projs") -> F.Column:
+    b = F.lit(0)
     for p in range(n_planes):
-        w = F.zip_with(
-            F.col(vec_col), dims,
-            lambda x, i: x * (F.pmod(F.xxhash64(i.cast("string"),
-                                                F.lit(f"plane{p}:{seed}")),
-                                     F.lit(1000)).cast("double") - 499.5))
-        proj = F.aggregate(w, F.lit(0.0), lambda a, x: a + x)
-        sign_bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
-                         * F.lit(1 << p))
-    bucket = sign_bits[0]
-    for s in sign_bits[1:]:
-        bucket = bucket + s
-    return df.withColumn(out_col, bucket.cast("int"))
+        b = b + F.when(F.element_at(projs_col, p + 1) >= 0,
+                       F.lit(1 << p)).otherwise(F.lit(0))
+    return b.cast("int")
+
+
+def hyperplane_signs(df: DataFrame, vec_col: str = "embedding",
+                     n_planes: int = 16, seed: int = 7, dim: int = 64,
+                     out_col: str = "bucket",
+                     keep_projs: bool = False) -> DataFrame:
+    """Sign-LSH bucket id (int, one bit per plane) — pure map-side."""
+    dfp = hyperplane_projections(df, vec_col, n_planes, seed, dim)
+    dfp = dfp.withColumn(out_col, _bucket_expr(n_planes))
+    return dfp if keep_projs else dfp.drop("projs")
+
+
+def probe_bucket_set(n_planes: int, n_flip: int,
+                     bucket_col: str = "bucket",
+                     projs_col: str = "projs") -> F.Column:
+    """Multi-probe candidate buckets: the exact bucket plus the
+    `n_flip` buckets reached by flipping the lowest-|projection|
+    planes one at a time (the classic multi-probe LSH recall boost —
+    the weakest sign bits are the likeliest to differ on a true
+    neighbor)."""
+    ranked = F.array_sort(F.transform(
+        F.col(projs_col),
+        lambda x, i: F.struct(F.abs(x).alias("a"), i.alias("i"))))
+    flips = F.transform(
+        F.slice(ranked, 1, n_flip),
+        lambda s: F.col(bucket_col).bitwiseXOR(
+            F.pow(F.lit(2.0), s["i"]).cast("int")))
+    return F.concat(F.array(F.col(bucket_col)), flips)
 
 
 def ivf_assign(df: DataFrame, centroids: DataFrame,
@@ -136,19 +185,29 @@ def ivf_topk(df: DataFrame, probe_df: DataFrame, centroids: DataFrame,
 
 def lsh_cosine_topk(df: DataFrame, probe_df: DataFrame, k: int = 10,
                     id_col: str = "vec_id", vec_col: str = "embedding",
-                    n_planes: int = 8, seed: int = 7) -> DataFrame:
-    """Approximate top-k: exact cosine within the probe's LSH bucket.
+                    n_planes: int = 16, seed: int = 7, dim: int = 64,
+                    n_flip: int = 2) -> DataFrame:
+    """Approximate top-k: exact cosine within the probe's LSH buckets.
+
+    Multi-probe: each probe scans 1 + n_flip buckets (exact bucket +
+    weakest-bit flips), so recall scales without shrinking the bucket
+    count.  A corpus vector lives in exactly one bucket and the
+    candidate buckets of one probe are distinct, so no dedup is needed.
 
     Scale shape: corpus bucketed once (write-time partition column);
     probes join on bucket — a broadcast-hash-join on small probe sets,
-    shuffle-free against a bucket-partitioned table.
+    shuffle-free against a bucket-partitioned table; 2^n_planes sized
+    to corpus/target-bucket-occupancy.
     """
     from pyspark.sql.window import Window
 
-    corpus = hyperplane_signs(df, vec_col, n_planes, seed)
-    probes = hyperplane_signs(probe_df, vec_col, n_planes, seed) \
-        .select(F.col(id_col).alias("probe_id"),
-                F.col(vec_col).alias("probe_vec"), "bucket")
+    corpus = hyperplane_signs(df, vec_col, n_planes, seed, dim)
+    probes = (hyperplane_signs(probe_df, vec_col, n_planes, seed, dim,
+                               keep_projs=True)
+              .withColumn("bucket",
+                          F.explode(probe_bucket_set(n_planes, n_flip)))
+              .select(F.col(id_col).alias("probe_id"),
+                      F.col(vec_col).alias("probe_vec"), "bucket"))
     joined = corpus.join(F.broadcast(probes), "bucket") \
         .filter(F.col(id_col) != F.col("probe_id"))
     cos = (_dot(F.col(vec_col), F.col("probe_vec"))

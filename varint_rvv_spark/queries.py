@@ -437,23 +437,30 @@ SELECT doc_id, {fp} AS simhash FROM sums
 
 
 def embedding_neardup(spark, sf_dir):
-    """Top-20 most-similar embedding pairs among vec_id < 100."""
+    """Top-20 most-similar LSH-cohabiting embedding pairs, vec_id < 100.
+
+    Uses the bucketed default path (equi-join on sign-LSH bucket, no
+    cartesian) — the brute-force O(N²) variant survives only as the
+    recall oracle in tests.
+    """
     from .operators.dedup import embedding_neardup_pairs
 
     e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
-    pairs = embedding_neardup_pairs(e, threshold=-1.0)
+    pairs = embedding_neardup_pairs(e, threshold=-1.0, n_planes=4, dim=64)
     return pairs.orderBy(F.desc("cosine"), F.asc("id_a"),
                          F.asc("id_b")).limit(20)
 
 
-EMBEDDING_NEARDUP_SQL = """
+def _embedding_neardup_sql(n_planes: int = 4, dim: int = 64) -> str:
+    return f"""
+WITH {_lsh_buckets_cte(n_planes, dim, "WHERE vec_id < 100")}
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        ROUND(list_dot_product(a.embedding, b.embedding)
              / (sqrt(list_dot_product(a.embedding, a.embedding))
                 * sqrt(list_dot_product(b.embedding, b.embedding))), 5)
          AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE a.vec_id < 100 AND b.vec_id < 100
+FROM buck a JOIN buck b USING (bucket)
+WHERE a.vec_id < b.vec_id
 ORDER BY cosine DESC, id_a ASC, id_b ASC LIMIT 20
 """
 
@@ -585,13 +592,73 @@ WHERE rk <= 5
 
 
 def similarity_lsh_topk(spark, sf_dir):
-    """Sign-LSH bucketed approximate top-k (rows-only: xxhash64 has no
-    DuckDB twin)."""
+    """Sign-LSH bucketed approximate top-k with multi-probe.
+
+    Plane weights come from similarity.plane_weights (md5 grid), so the
+    DuckDB oracle reproduces them exactly.  n_planes=6 (64 buckets) is
+    sized to the test corpus (500-2k vectors, ~10-30/bucket); at 100 TB
+    you raise n_planes so 2^n_planes tracks corpus/occupancy and keep
+    recall via n_flip multi-probe.
+    """
     from .operators.similarity import lsh_cosine_topk
 
     e = _t(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") < 3)
-    return lsh_cosine_topk(e, probes, k=5, n_planes=4)
+    return lsh_cosine_topk(e, probes, k=5, n_planes=6, dim=64, n_flip=2)
+
+
+def _planes_literal(n_planes: int, dim: int, seed: int = 7) -> str:
+    """DuckDB literal for the md5-grid plane matrix (exact doubles)."""
+    from .operators.similarity import plane_weights
+
+    return "[" + ", ".join(
+        "[" + ", ".join(repr(w) for w in row) + "]"
+        for row in plane_weights(n_planes, dim, seed)) + "]"
+
+
+def _lsh_buckets_cte(n_planes: int, dim: int, where: str = "") -> str:
+    """Shared CTE text: embeddings → per-plane projections → bucket."""
+    return f"""
+W AS (SELECT {_planes_literal(n_planes, dim)} AS planes),
+proj AS (
+  SELECT vec_id, embedding,
+         list_transform(planes,
+           pl -> list_sum(list_transform(range(1, {dim} + 1),
+                          i -> embedding[i] * pl[i]))) AS projs
+  FROM embeddings, W {where}),
+buck AS (
+  SELECT vec_id, embedding, projs,
+         CAST(list_sum(list_transform(range(1, {n_planes} + 1),
+              p -> CASE WHEN projs[p] >= 0
+                        THEN (1 << (p - 1)) ELSE 0 END)) AS INT) AS bucket
+  FROM proj)"""
+
+
+def _lsh_topk_sql(n_planes: int = 6, dim: int = 64, n_flip: int = 2,
+                  k: int = 5) -> str:
+    cos = ("list_dot_product(c.embedding, p.pv)"
+           " / (sqrt(list_dot_product(c.embedding, c.embedding))"
+           " * sqrt(list_dot_product(p.pv, p.pv)))")
+    struct = "{'a': abs(projs[p]), 'i': p - 1}"
+    return f"""
+WITH {_lsh_buckets_cte(n_planes, dim)},
+probes AS (
+  SELECT vec_id AS probe_id, embedding AS pv,
+         UNNEST(list_concat([bucket],
+           list_transform(
+             (list_sort(list_transform(range(1, {n_planes} + 1),
+                p -> {struct})))[1:{n_flip}],
+             s -> CAST(xor(bucket, (1 << s.i)) AS INT)))) AS bucket
+  FROM buck WHERE vec_id < 3)
+SELECT probe_id, vec_id, cosine, rk FROM (
+  SELECT p.probe_id, c.vec_id, ROUND({cos}, 5) AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY p.probe_id
+                            ORDER BY ROUND({cos}, 5) DESC,
+                                     c.vec_id ASC) AS rk
+  FROM buck c JOIN probes p USING (bucket)
+  WHERE c.vec_id <> p.probe_id) t
+WHERE rk <= {k}
+"""
 
 
 def multimodal_features(spark, sf_dir):
@@ -952,7 +1019,7 @@ ORACLES = {
     "dedup_minhash_lsh": _minhash_sql(),
     "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
     "dedup_simhash": _simhash_sql(),
-    "embedding_neardup": EMBEDDING_NEARDUP_SQL,
+    "embedding_neardup": _embedding_neardup_sql(),
     "text_lang_id": _lang_id_sql(),
     "text_token_counts": TEXT_TOKEN_COUNTS_SQL,
     "text_fingerprint_dupes": TEXT_FINGERPRINT_SQL,
@@ -968,7 +1035,7 @@ ORACLES = {
     "string_date_functions": STRING_DATE_SQL,
     "global_dict_roundtrip": GLOBAL_DICT_SQL,
     "similarity_ivf_topk": SIMILARITY_IVF_SQL,
+    "similarity_lsh_topk": _lsh_topk_sql(),
     # rows-only (no SQL twin): codec_footer_documents (engine
-    # introspection), similarity_lsh_topk (xxhash64), multimodal_features
-    # (stub decode)
+    # introspection), multimodal_features (stub decode)
 }
