@@ -78,6 +78,29 @@ def test_plane_weights_deterministic_and_centered():
                for x in flat)  # exact .5-grid doubles
 
 
+def test_connected_components_known_graph(spark):
+    from varint_rvv_spark.operators.dedup import connected_components
+
+    # two components {1,2,3,9} (chain 9-1-2-3) and {5,7}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 9), (5, 7)], "id_a long, id_b long")
+    got = {(r.id, r.comp) for r in connected_components(edges).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (9, 1), (5, 5), (7, 5)}
+
+
+def test_minhash_survivors_drop_only_nonmin(spark):
+    from varint_rvv_spark.operators.dedup import minhash_dedup_survivors
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [(1, base), (2, base + " tail"), (3, "completely different "
+             "words nothing shared here at all in any way truly"),
+            (4, base)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    kept = sorted(r.doc_id for r in
+                  minhash_dedup_survivors(df, "doc_id", "text").collect())
+    assert kept == [1, 3]  # 2 and 4 are near-dups of 1; 3 untouched
+
+
 def test_word_shingles_matches_naive(spark):
     docs = [(1, "a b c d e"), (2, "a b"), (3, ""), (4, "x y z x y z"),
             (5, "  lead and trail  ")]

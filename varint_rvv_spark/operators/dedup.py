@@ -118,6 +118,97 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
             .select("id_a", "id_b", F.round(raw_j, 5).alias("jaccard")))
 
 
+def jaccard_verify_pairs(df: DataFrame, pairs: DataFrame, id_col: str,
+                         text_col: str, k: int = 3,
+                         threshold: float = 0.5) -> DataFrame:
+    """Exact Jaccard verification restricted to candidate pairs.
+
+    The LSH pruning makes this scale-safe: shingles are built only for
+    docs that appear in a candidate pair (left_semi pushdown), and the
+    intersection join fans out per-candidate-pair, never all-pairs.
+    """
+    ids = (pairs.select(F.col("id_a").alias(id_col))
+           .union(pairs.select(F.col("id_b").alias(id_col)))
+           .distinct())
+    sub = df.join(ids, [id_col], "left_semi")
+    sh = word_shingles(sub, id_col, text_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (pairs.join(a, "id_a").join(b, ["id_b", "shingle"])
+             .groupBy("id_a", "id_b")
+             .agg(F.count("*").alias("n_inter")))
+    sa = sizes.select(F.col(id_col).alias("id_a"),
+                      F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"),
+                      F.col("n_sh").alias("n_b"))
+    jac = (F.col("n_inter")
+           / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
+    return (inter.join(sa, "id_a").join(sb, "id_b")
+            .filter(jac >= threshold)
+            .select("id_a", "id_b", F.round(jac, 5).alias("jaccard")))
+
+
+def connected_components(edges: DataFrame,
+                         max_iter: int = 25) -> DataFrame:
+    """(id, comp) for every node in `edges`; comp = min id reachable.
+
+    Iterative min-label propagation: each round every node takes the
+    least label among itself and its neighbors, converging in
+    O(component diameter) rounds — duplicate clusters are near-cliques,
+    so 2-3 rounds in practice.  localCheckpoint truncates lineage per
+    round; the convergence check is one count on the (small) label
+    delta.  No external graph lib.
+    """
+    sym = (edges.select(F.col("id_a").alias("src"),
+                        F.col("id_b").alias("dst"))
+           .union(edges.select(F.col("id_b").alias("src"),
+                               F.col("id_a").alias("dst")))).cache()
+    labels = (sym.select(F.col("src").alias("id")).distinct()
+              .withColumn("comp", F.col("id")).localCheckpoint())
+    for _ in range(max_iter):
+        neigh = (sym.join(labels, sym["dst"] == labels["id"])
+                 .groupBy("src").agg(F.min("comp").alias("ncomp")))
+        new = (labels.alias("l")
+               .join(neigh, F.col("l.id") == neigh["src"], "left")
+               .select(F.col("l.id").alias("id"),
+                       F.least(F.col("l.comp"),
+                               F.coalesce(F.col("ncomp"), F.col("l.comp")))
+                       .alias("comp"))
+               .localCheckpoint())
+        changed = (new.alias("n").join(labels.alias("o"), "id")
+                   .filter(F.col("n.comp") != F.col("o.comp")).count())
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+def minhash_dedup_components(df: DataFrame, id_col: str, text_col: str,
+                             k: int = 3, n_hashes: int = 16,
+                             bands: int = 4,
+                             threshold: float = 0.5) -> DataFrame:
+    """End-to-end MinHash dedup: LSH candidates → exact-Jaccard verify
+    → connected components.  Returns (id, comp) for every member of a
+    verified duplicate group (comp = group min id = the survivor)."""
+    cand = minhash_lsh_pairs(df, id_col, text_col, k, n_hashes, bands)
+    edges = jaccard_verify_pairs(df, cand, id_col, text_col, k, threshold)
+    return connected_components(edges)
+
+
+def minhash_dedup_survivors(df: DataFrame, id_col: str, text_col: str,
+                            k: int = 3, n_hashes: int = 16,
+                            bands: int = 4,
+                            threshold: float = 0.5) -> DataFrame:
+    """The keep-table: drops every verified near-duplicate whose id is
+    not its group's minimum (exact_dedup's analogue for near-dups)."""
+    comp = minhash_dedup_components(df, id_col, text_col, k, n_hashes,
+                                    bands, threshold)
+    drop = (comp.filter(F.col("comp") != F.col("id"))
+            .select(F.col("id").alias(id_col)))
+    return df.join(drop, [id_col], "left_anti")
+
+
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """60-bit SimHash from token md5s — pure bit arithmetic, no UDF.
 

@@ -407,6 +407,68 @@ WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
 """
 
 
+def dedup_minhash_survivors(spark, sf_dir):
+    """End-to-end MinHash dedup: LSH candidates → exact-Jaccard verify
+    → connected components → duplicate groups (group_id = survivor)."""
+    from .operators.dedup import minhash_dedup_components
+
+    d = _t(spark, sf_dir, "documents")
+    comp = minhash_dedup_components(d, "doc_id", "text", k=3,
+                                    n_hashes=16, bands=4, threshold=0.5)
+    return (comp.groupBy(F.col("comp").alias("group_id"))
+            .agg(F.count("*").alias("n_members"),
+                 F.sum("id").alias("sum_member_ids")))
+
+
+def _minhash_survivors_sql(n_hashes: int = 16, bands: int = 4,
+                           threshold: float = 0.5) -> str:
+    rows = n_hashes // bands
+    mins = ",\n       ".join(
+        f"MIN(md5(shingle || ':{i}')) AS mh{i}" for i in range(n_hashes))
+    band_rows = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band_id, md5({cat}) AS band_hash FROM sig"
+        .format(b=b, cat=" || '|' || ".join(
+            f"mh{b * rows + r}" for r in range(rows)))
+        for b in range(bands))
+    return f"""
+WITH RECURSIVE
+d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+       FROM d, UNNEST(range(1, len(toks) - 1)) AS t(i)),
+sig AS (SELECT doc_id, {mins}
+        FROM sh GROUP BY doc_id),
+bands AS (
+{band_rows}
+),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b USING (band_id, band_hash)
+         WHERE a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.id_a
+          JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+          GROUP BY c.id_a, c.id_b),
+edges AS (SELECT id_a, id_b FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE CAST(n_inter AS DOUBLE)
+                / (sa.n_sh + sb.n_sh - n_inter) >= {threshold}),
+sym AS (SELECT id_a AS src, id_b AS dst FROM edges
+        UNION SELECT id_b, id_a FROM edges),
+reach(id, comp) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT s.src, r.comp FROM sym s JOIN reach r ON s.dst = r.id),
+comp AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id)
+SELECT comp AS group_id, COUNT(*) AS n_members,
+       CAST(SUM(id) AS BIGINT) AS sum_member_ids
+FROM comp GROUP BY comp
+"""
+
+
 def dedup_simhash(spark, sf_dir):
     """60-bit SimHash fingerprints for a deterministic doc subset."""
     from .operators.dedup import simhash64
@@ -981,6 +1043,7 @@ QUERIES = {
     "codec_footer_documents": codec_footer_documents,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_survivors": dedup_minhash_survivors,
     "dedup_simhash": dedup_simhash,
     "embedding_neardup": embedding_neardup,
     "text_lang_id": text_lang_id,
@@ -1018,6 +1081,7 @@ ORACLES = {
     "embedding_topk_cosine": EMBEDDING_TOPK_SQL,
     "dedup_minhash_lsh": _minhash_sql(),
     "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
+    "dedup_minhash_survivors": _minhash_survivors_sql(),
     "dedup_simhash": _simhash_sql(),
     "embedding_neardup": _embedding_neardup_sql(),
     "text_lang_id": _lang_id_sql(),
