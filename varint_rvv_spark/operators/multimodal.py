@@ -1,105 +1,145 @@
-"""Multimodal column plumbing: image/audio/video as opaque binary +
-typed metadata, processed in Arrow-batched kernels via mapInPandas.
+"""Multimodal columns: image/audio/video as opaque binary + typed
+metadata, decoded and feature-extracted in Arrow-batched kernels.
 
-The decode/feature-extraction inner step is STUBBED (no image/audio
-libraries in this container): `decode_image_stub` produces a
-deterministic fake decode (dimensions + checksum derived from bytes),
-clearly marked.  Everything Spark-side — schema, partitioning, UDF
-signature, batch shape — is real and tested; swapping the stub for
-PIL/libav is a one-function change.
+The decode layer is REAL: `..formats` implements byte-level BMP
+(24-bit, padded, bottom-up, BGR), mono PCM16 WAV, and a multi-frame
+ANIM container in pure numpy.  The synthetic corpus uses closed-form
+arithmetic content, so the DuckDB oracle recomputes every feature
+(dims, counts, sums, first/last values, byte sizes) from media_id
+alone — equality proves the whole generate → container-encode →
+Spark-decode loop, including row-flip and channel-swap.
+
+Scale shape: generation and decode are both mapInArrow over the id
+range / payload column — zero shuffles, one Arrow crossing, batches
+stream.  Swapping in PIL/pyav for real-world files changes only the
+decode call inside the kernel.
 """
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
-import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame, functions as F
+
+from .. import formats
 
 MEDIA_SCHEMA = ("media_id long, kind string, payload binary, "
                 "mime string, n_bytes long")
 
+MIME = {"image": "image/bmp", "audio": "audio/wav",
+        "video": "video/x-anim-bmp"}
+
 FEATURE_SCHEMA = ("media_id long, kind string, width int, height int, "
-                  "n_frames int, checksum string, feat array<float>")
-
-HAVE_PIL = False
-try:  # pragma: no cover - not present in this container
-    import PIL.Image  # noqa: F401
-
-    HAVE_PIL = True
-except ImportError:
-    pass
+                  "n_frames int, n_vals long, sum_vals long, "
+                  "first_val int, last_val int, n_bytes long")
 
 
 def synth_media_df(spark, n: int = 256, partitions: int = 4) -> DataFrame:
-    """Deterministic fake media table (binary payload + metadata)."""
-    base = spark.range(0, n, numPartitions=partitions)
-    kind = F.element_at(F.array(F.lit("image"), F.lit("audio"),
-                                F.lit("video")),
-                        (F.col("id") % 3 + 1).cast("int"))
-    payload = F.encode(F.concat(F.lit("MEDIA:"), F.col("id").cast("string"),
-                                F.lit(":"),
-                                F.repeat(F.md5(F.col("id").cast("string")),
-                                         8)), "utf-8")
-    mime = F.concat(kind, F.lit("/x-synthetic"))
-    return base.select(F.col("id").alias("media_id"), kind.alias("kind"),
-                       payload.alias("payload"), mime.alias("mime"),
-                       F.length(payload).cast("long").alias("n_bytes"))
+    """Deterministic media table with real container payloads,
+    generated executor-side (mapInArrow over the id range)."""
+
+    def gen(batch_iter):
+        for batch in batch_iter:
+            ids = batch.column(0).to_pylist()
+            rows = {"media_id": [], "kind": [], "payload": [],
+                    "mime": [], "n_bytes": []}
+            for mid in ids:
+                kind, payload = formats.synth_payload(mid)
+                rows["media_id"].append(mid)
+                rows["kind"].append(kind)
+                rows["payload"].append(payload)
+                rows["mime"].append(MIME[kind])
+                rows["n_bytes"].append(len(payload))
+            yield pa.RecordBatch.from_pydict(rows)
+
+    return spark.range(0, n, numPartitions=partitions) \
+        .mapInArrow(gen, MEDIA_SCHEMA)
 
 
-def decode_image_stub(payload: bytes) -> dict:
-    """STUB decoder — deterministic fake of an image/audio decode.
+def _features_of(kind: str, payload: bytes) -> dict:
+    """Parse the container (headers, not trust) and aggregate content."""
+    if kind == "image":
+        px = formats.decode_bmp(payload)
+        frames = [px]
+    elif kind == "video":
+        frames = formats.decode_anim(payload)
+    elif kind == "audio":
+        samples, _rate = formats.decode_wav(payload)
+        s = samples.astype(np.int64)
+        return {"width": 0, "height": 0, "n_frames": 0,
+                "n_vals": len(s), "sum_vals": int(s.sum()),
+                "first_val": int(s[0]), "last_val": int(s[-1])}
+    else:
+        raise ValueError(f"unknown media kind {kind!r}")
+    flat = np.concatenate([f.reshape(-1) for f in frames]).astype(np.int64)
+    h, w, _ = frames[0].shape
+    return {"width": w, "height": h, "n_frames": len(frames),
+            "n_vals": len(flat), "sum_vals": int(flat.sum()),
+            "first_val": int(flat[0]), "last_val": int(flat[-1])}
 
-    Real deployment: replace with PIL.Image.open / soundfile / pyav.
-    Raises NotImplementedError if somebody expects real pixels.
-    """
-    if HAVE_PIL:  # pragma: no cover
-        raise NotImplementedError("real decode path not wired yet")
-    h = hashlib.sha256(payload).digest()
-    return {
-        "width": 64 + h[0] % 192,
-        "height": 64 + h[1] % 192,
-        "n_frames": 1 + h[2] % 16,
-        "checksum": h.hex()[:16],
-    }
 
+def extract_features(df: DataFrame) -> DataFrame:
+    """mapInArrow feature extraction over binary media payloads."""
 
-def extract_features(df: DataFrame, batch_feat_dim: int = 8) -> DataFrame:
-    """mapInPandas feature extraction over binary media payloads.
-
-    Batch shape is the real thing: one pandas DataFrame per Arrow
-    batch, vectorized per-batch numpy for the feature vector, and the
-    per-payload decode isolated in `decode_image_stub`.
-    """
     def fn(batch_iter):
-        for pdf in batch_iter:
-            metas = [decode_image_stub(bytes(p)) for p in pdf["payload"]]
-            meta_df = pd.DataFrame(metas)
-            # deterministic fake embedding: first bytes of sha256,
-            # scaled — vectorized over the batch
-            raw = np.stack([
-                np.frombuffer(hashlib.sha256(bytes(p)).digest()
-                              [:batch_feat_dim], dtype=np.uint8)
-                for p in pdf["payload"]]).astype(np.float32) / 255.0
-            out = pd.DataFrame({
-                "media_id": pdf["media_id"].values,
-                "kind": pdf["kind"].values,
-                "width": meta_df["width"].astype("int32"),
-                "height": meta_df["height"].astype("int32"),
-                "n_frames": meta_df["n_frames"].astype("int32"),
-                "checksum": meta_df["checksum"],
-                "feat": list(raw),
-            })
-            yield out
+        for batch in batch_iter:
+            d = batch.to_pydict()
+            out = {"media_id": d["media_id"], "kind": d["kind"],
+                   "width": [], "height": [], "n_frames": [],
+                   "n_vals": [], "sum_vals": [], "first_val": [],
+                   "last_val": [], "n_bytes": []}
+            for kind, payload in zip(d["kind"], d["payload"]):
+                m = _features_of(kind, bytes(payload))
+                for k, v in m.items():
+                    out[k].append(v)
+                out["n_bytes"].append(len(payload))
+            yield pa.RecordBatch.from_pydict(
+                out, schema=pa.schema([
+                    ("media_id", pa.int64()), ("kind", pa.string()),
+                    ("width", pa.int32()), ("height", pa.int32()),
+                    ("n_frames", pa.int32()), ("n_vals", pa.int64()),
+                    ("sum_vals", pa.int64()), ("first_val", pa.int32()),
+                    ("last_val", pa.int32()), ("n_bytes", pa.int64())]))
 
-    return df.mapInPandas(fn, FEATURE_SCHEMA)
+    return df.mapInArrow(fn, FEATURE_SCHEMA)
+
+
+def media_embeddings(df: DataFrame, feat_dim: int = 8) -> DataFrame:
+    """Content-derived embedding per media row: mean of `feat_dim`
+    equal slices of the decoded scalar stream (pixels or samples) —
+    the stand-in for a real model encoder, with the same batch shape."""
+
+    def fn(batch_iter):
+        for batch in batch_iter:
+            d = batch.to_pydict()
+            feats = []
+            for kind, payload in zip(d["kind"], d["payload"]):
+                payload = bytes(payload)
+                if kind == "audio":
+                    vals = formats.decode_wav(payload)[0].astype(np.float64)
+                elif kind == "image":
+                    vals = formats.decode_bmp(payload).reshape(-1) \
+                        .astype(np.float64)
+                else:
+                    vals = np.concatenate(
+                        [f.reshape(-1) for f in
+                         formats.decode_anim(payload)]).astype(np.float64)
+                chunks = np.array_split(vals, feat_dim)
+                feats.append(np.array([c.mean() for c in chunks],
+                                      dtype=np.float32))
+            yield pa.RecordBatch.from_pydict(
+                {"media_id": d["media_id"],
+                 "feat": [f.tolist() for f in feats]},
+                schema=pa.schema([("media_id", pa.int64()),
+                                  ("feat", pa.list_(pa.float32()))]))
+
+    return df.mapInArrow(fn, "media_id long, feat array<float>")
 
 
 def frame_sample_plan(df: DataFrame, every_n: int = 4) -> DataFrame:
     """Video frame-sampling *plan*: expands (media_id, n_frames) into
-    frame tasks (media_id, frame_idx) without decoding — the shuffle/
-    fan-out layer a real frame extractor plugs into."""
+    frame tasks (media_id, frame_idx) — the fan-out layer a per-frame
+    extractor plugs into."""
     feats = extract_features(df)
     return (feats.filter(F.col("kind") == "video")
             .select("media_id",

@@ -724,15 +724,52 @@ WHERE rk <= {k}
 
 
 def multimodal_features(spark, sf_dir):
-    """Multimodal plumbing demo: synth media → stub feature extraction
-    (rows-only: stub decode has no SQL twin)."""
+    """Real multimodal decode: executor-side BMP/WAV/ANIM payloads →
+    byte-level parse → content aggregates.  The oracle recomputes every
+    column from media_id arithmetic (formats.py closed forms), so a
+    hash match proves the container round trip bit-exactly."""
     from .operators.multimodal import extract_features, synth_media_df
 
     media = synth_media_df(spark, n=64, partitions=4)
-    return (extract_features(media)
-            .select("media_id", "kind", "width", "height", "n_frames",
-                    "checksum")
-            .orderBy("media_id"))
+    return extract_features(media).orderBy("media_id")
+
+
+MULTIMODAL_SQL = """
+WITH m AS (
+  SELECT i AS media_id,
+         CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         16 + (i * 7) % 33 AS w, 16 + (i * 11) % 29 AS h,
+         CASE WHEN i % 3 = 0 THEN 1
+              WHEN i % 3 = 2 THEN 1 + i % 4 ELSE 0 END AS nf,
+         256 + (i * 37) % 512 AS ns,
+         ((w * 3 + 3) // 4) * 4 AS rowstride
+  FROM range(0, 64) t(i))
+SELECT media_id, kind,
+  CAST(CASE WHEN kind = 'audio' THEN 0 ELSE w END AS INT) AS width,
+  CAST(CASE WHEN kind = 'audio' THEN 0 ELSE h END AS INT) AS height,
+  CAST(nf AS INT) AS n_frames,
+  CAST(CASE WHEN kind = 'audio' THEN ns
+            ELSE nf * w * h * 3 END AS BIGINT) AS n_vals,
+  CAST(CASE WHEN kind = 'audio'
+       THEN list_sum(list_transform(range(0, ns),
+            g -> ((media_id * 131 + 7 * g) % 65536) - 32768))
+       ELSE list_sum(list_transform(range(0, nf * w * h * 3),
+            g -> (media_id * 131 + (g // (w * h * 3)) * 17
+                  + (g % (w * h * 3))) % 256))
+       END AS BIGINT) AS sum_vals,
+  CAST(CASE WHEN kind = 'audio'
+       THEN ((media_id * 131) % 65536) - 32768
+       ELSE (media_id * 131) % 256 END AS INT) AS first_val,
+  CAST(CASE WHEN kind = 'audio'
+       THEN ((media_id * 131 + 7 * (ns - 1)) % 65536) - 32768
+       ELSE (media_id * 131 + (nf - 1) * 17 + w * h * 3 - 1) % 256
+       END AS INT) AS last_val,
+  CAST(CASE WHEN kind = 'audio' THEN 44 + 2 * ns
+       WHEN kind = 'image' THEN 54 + h * rowstride
+       ELSE 6 + nf * (4 + 54 + h * rowstride) END AS BIGINT) AS n_bytes
+FROM m
+"""
 
 
 def rt_events_scanmode(spark, sf_dir):
@@ -1100,6 +1137,7 @@ ORACLES = {
     "global_dict_roundtrip": GLOBAL_DICT_SQL,
     "similarity_ivf_topk": SIMILARITY_IVF_SQL,
     "similarity_lsh_topk": _lsh_topk_sql(),
+    "multimodal_features": MULTIMODAL_SQL,
     # rows-only (no SQL twin): codec_footer_documents (engine
-    # introspection), multimodal_features (stub decode)
+    # introspection)
 }
