@@ -61,11 +61,9 @@ def main() -> None:
     footer = resume_footer(spark, args.output) if args.resume else None
     t0 = time.perf_counter()
     if args.mode == "scan":
-        done = None
-        if footer is not None:
-            done = [r["chunk_id"] for r in
-                    footer.select("chunk_id").distinct().collect()]
-        chunks = encode_chunks_scan(df, done_chunk_ids=done)
+        # done_footer also carries the layout fingerprint: resume is
+        # refused if the input file set/sizes or split config changed
+        chunks = encode_chunks_scan(df, done_footer=footer)
     else:
         keys = (args.key_cols.split(",") if args.key_cols
                 else [df.columns[0]])

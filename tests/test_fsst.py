@@ -72,3 +72,29 @@ def test_auto_select_falls_back_when_fsst_loses():
 @given(st.lists(st.binary(max_size=64), max_size=60))
 def test_property_fsst_roundtrip(items):
     roundtrip(items, B.DT_BIN)
+
+
+def test_select_nonoverlap_matches_sequential_greedy():
+    """The vectorized run-parity pruning equals exact sequential greedy
+    (the old two-pass version could cascade-drop legal matches)."""
+    from varint_rvv_spark.codecs.fsst import _select_nonoverlap
+
+    rng = np.random.default_rng(42)
+    for L in (2, 4, 8):
+        for _ in range(50):
+            n = int(rng.integers(1, 400))
+            pos = np.unique(rng.integers(0, 256, n)).astype(np.int64)
+            ccum = np.zeros(300 + L, dtype=np.int64)
+            got = _select_nonoverlap(pos.copy(), L, ccum)
+            # reference: first-per-block, then sequential greedy
+            kept, last_block, last_pos = [], None, -10**9
+            for p in pos:
+                b = p // L
+                if b == last_block:
+                    continue
+                last_block = b
+                if p >= last_pos + L:
+                    kept.append(p)
+                    last_pos = p
+            assert got.tolist() == kept
+            assert (np.diff(got) >= L).all() if got.size > 1 else True

@@ -83,3 +83,49 @@ def test_encode_job_cli_with_resume(tmp_path):
     j2 = json.loads(r2.stdout.strip().splitlines()[-1])
     assert j2["resumed"] is True
     assert j2["chunk_rows"] == 0
+
+
+def test_scan_resume_fingerprint_guard(spark, pages, tmp_path):
+    """Scan-mode resume is refused when the positional chunk-id space
+    changed (input files, rows_per_chunk, or split config)."""
+    src = str(tmp_path / "src.parquet")
+    pages.write.mode("overwrite").parquet(src)
+    df = spark.read.parquet(src)
+    footer = footer_of(encode_chunks_scan(df, rows_per_chunk=128))
+    footer = spark.createDataFrame(footer.collect(), footer.schema)
+    # same layout → resume accepted, nothing left to encode
+    rest = encode_chunks_scan(spark.read.parquet(src),
+                              rows_per_chunk=128, done_footer=footer)
+    assert rest.count() == 0
+    # different rows_per_chunk → a different chunk-id space → refused
+    with pytest.raises(ValueError, match="layout fingerprint"):
+        encode_chunks_scan(spark.read.parquet(src),
+                           rows_per_chunk=256, done_footer=footer).count()
+    # changed input file set → refused
+    src2 = str(tmp_path / "src2.parquet")
+    pages.limit(50).write.mode("overwrite").parquet(src2)
+    both = spark.read.parquet(src, src2)
+    with pytest.raises(ValueError, match="layout fingerprint"):
+        encode_chunks_scan(both, rows_per_chunk=128,
+                           done_footer=footer).count()
+
+
+def test_resume_footer_survives_missing_footer_table(spark, pages,
+                                                     tmp_path):
+    """Crash window: chunks written, footer job never ran — resume must
+    still skip the written chunks (ledger derived from chunks dir)."""
+    from varint_rvv_spark.sources.tables import rebuild_footer, resume_footer
+
+    root = str(tmp_path / "enc")
+    chunks = encode_chunks_scan(pages, rows_per_chunk=256)
+    # simulate the crash: persist chunks only, no footer table
+    chunks.write.mode("overwrite").partitionBy("column") \
+        .parquet(f"{root}/chunks")
+    ledger = resume_footer(spark, root)
+    assert ledger is not None and "payload" not in ledger.columns
+    rest = encode_chunks_scan(pages, rows_per_chunk=256,
+                              done_footer=ledger)
+    assert rest.count() == 0
+    # the repair path rebuilds the footer table from chunks
+    rebuild_footer(spark, root)
+    assert read_footer(spark, root).count() == ledger.count()

@@ -214,3 +214,18 @@ def test_nulls_roundtrip(spark):
     rebuilt = decode_table(ch, df.columns, "k long, s string, v double")
     assert rebuilt.exceptAll(df).count() == 0
     assert df.exceptAll(rebuilt).count() == 0
+
+
+def test_narrow_int_roundtrip(spark):
+    """tinyint/smallint survive encode→decode with their exact types
+    (widened on the wire, logical_type restores the Arrow type)."""
+    rows = [(1, 127, -32768, 7), (2, -128, 32767, None), (3, 0, None, 9)]
+    schema = "id long, a byte, b short, c short"
+    df = spark.createDataFrame(rows, schema)
+    chunks = encode_chunks(df, key_cols=["id"], num_chunks=2)
+    out = decode_table(chunks, df.columns, schema)
+    assert out.schema == df.schema
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, rows))
+    outc = decode_table(chunks, df.columns, schema, contiguous=True)
+    assert outc.schema == df.schema
+    assert sorted(map(tuple, outc.collect())) == sorted(map(tuple, rows))

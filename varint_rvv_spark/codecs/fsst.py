@@ -100,15 +100,18 @@ def _select_nonoverlap(pos: np.ndarray, L: int, consumed_cum: np.ndarray
     first = np.ones(pos.size, dtype=bool)
     first[1:] = block[1:] != block[:-1]
     pos = pos[first]
-    # adjacent-block conflicts: drop p[i+1] if p[i+1] < p[i] + L
-    keep = np.ones(pos.size, dtype=bool)
-    keep[1:] = pos[1:] >= pos[:-1] + L
-    # one fixup round: dropping an element can free its successor, but
-    # block-locality bounds chains to length 2 for L-sized blocks
-    pos2 = pos[keep]
-    keep2 = np.ones(pos2.size, dtype=bool)
-    keep2[1:] = pos2[1:] >= pos2[:-1] + L
-    return pos2[keep2]
+    # adjacent-block conflicts: with one match per block, a conflicting
+    # pair always sits in *consecutive* blocks, so conflicts form
+    # chains and the exact sequential greedy (keep, then skip the next
+    # conflicting one, then keep, ...) is "keep the even offsets within
+    # each maximal conflicting run" — fully vectorized, no cascade of
+    # drops against already-dropped predecessors
+    conflict = np.zeros(pos.size, dtype=bool)
+    conflict[1:] = pos[1:] < pos[:-1] + L
+    run_start = np.flatnonzero(~conflict)
+    run_id = np.cumsum(~conflict) - 1
+    offset = np.arange(pos.size) - run_start[run_id]
+    return pos[offset % 2 == 0]
 
 
 def fsst_compress(buf: np.ndarray, syms: list[bytes]) -> np.ndarray:

@@ -24,7 +24,11 @@ from ..codecs.composite import pa_to_varlen, varlen_to_pa
 # logical type tags persisted in the footer so decode can reconstruct
 # the exact Arrow/Spark type from the physical dtype_code
 LT_TIMESTAMP_US = "timestamp_us"
+LT_NARROW_INT = "narrow_int"
 LT_PLAIN = "plain"
+
+_NARROW_PA = {"int8": pa.int8(), "int16": pa.int16(),
+              "uint8": pa.uint8(), "uint16": pa.uint16()}
 
 
 def arrow_to_values(arr: pa.Array):
@@ -57,7 +61,10 @@ def arrow_to_values(arr: pa.Array):
             pa.uint32(): B.DT_U32, pa.uint64(): B.DT_U64,
             pa.float32(): B.DT_F32, pa.float64(): B.DT_F64,
         }.get(t)
-        if code is None:  # narrow ints → widen to i64
+        if code is None:  # narrow ints: encode widened, remember type
+            if str(t) not in _NARROW_PA:
+                raise TypeError(f"unsupported integer arrow type {t}")
+            logical = f"{LT_NARROW_INT}:{t}"
             arr = arr.cast(pa.int64())
             code = B.DT_I64
         return arr.to_numpy(zero_copy_only=False), code, logical, validity
@@ -92,6 +99,8 @@ def values_to_arrow(values, dtype_code: int, logical: str,
     elif logical.startswith(LT_TIMESTAMP_US + ":"):
         arr = arr.cast(pa.timestamp(
             "us", tz=logical.split(":", 1)[1]))
+    elif logical.startswith(LT_NARROW_INT + ":"):
+        arr = arr.cast(_NARROW_PA[logical.split(":", 1)[1]])
     if validity:
         n = len(arr)
         mask = np.unpackbits(np.frombuffer(validity, dtype=np.uint8),

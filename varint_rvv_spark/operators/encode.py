@@ -201,8 +201,13 @@ def footer_of(chunks: DataFrame) -> DataFrame:
 
 
 def _scan_kernel(columns: list[str], rows_per_chunk: int,
-                 done_b, codec_overrides: dict | None):
-    """Kernel for shuffle-free encode: chunk = consecutive scan rows."""
+                 done_b, codec_overrides: dict | None,
+                 fp_slot: int = -1):
+    """Kernel for shuffle-free encode: chunk = consecutive scan rows.
+
+    fp_slot: the layout-fingerprint value recorded in each row's
+    num_chunks field (scan mode has no hash-space N, so the slot
+    instead identifies the positional chunk-id space)."""
     overrides = codec_overrides or {}
 
     def fn(batch_iter):
@@ -222,7 +227,8 @@ def _scan_kernel(columns: list[str], rows_per_chunk: int,
             rows = {k: [] for k in CHUNK_ARROW_SCHEMA.names}
             for col in columns:
                 _append_column_row(rows, chunk_id, col,
-                                   tbl[col].combine_chunks(), overrides)
+                                   tbl[col].combine_chunks(), overrides,
+                                   fp_slot)
             return pa.RecordBatch.from_pydict(rows, schema=CHUNK_ARROW_SCHEMA)
 
         for batch in batch_iter:
@@ -242,28 +248,81 @@ def _scan_kernel(columns: list[str], rows_per_chunk: int,
     return fn
 
 
+def scan_layout_fingerprint(df: DataFrame, rows_per_chunk: int) -> int:
+    """Deterministic 60-bit fingerprint of the scan-mode chunk-id space.
+
+    Scan-mode chunk_id = (scan partition, ordinal) is purely
+    positional: it is only stable while the input file set (paths +
+    sizes), rows_per_chunk and spark.sql.files.maxPartitionBytes are
+    all unchanged.  This fingerprint captures exactly those inputs so a
+    resume against a changed layout is refused instead of silently
+    skipping the wrong rows.
+    """
+    import hashlib
+    import os
+
+    parts = []
+    for f in sorted(df.inputFiles()):
+        p = f.removeprefix("file:")
+        try:
+            sz = os.path.getsize(p)
+        except OSError:  # non-local FS: path-only (still catches set
+            sz = -1      # membership and ordering changes)
+        parts.append(f"{f}:{sz}")
+    try:
+        mpb = df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes")
+    except Exception:  # defensive: config not resolvable
+        mpb = "unknown"
+    blob = "|".join(parts) + f"|rpc={rows_per_chunk}|mpb={mpb}"
+    return int(hashlib.sha256(blob.encode()).hexdigest()[:15], 16)
+
+
 def encode_chunks_scan(df: DataFrame, columns: list[str] | None = None,
                        rows_per_chunk: int = 65536,
                        done_chunk_ids=None,
-                       codec_overrides: dict | None = None) -> DataFrame:
+                       codec_overrides: dict | None = None,
+                       done_footer: DataFrame | None = None) -> DataFrame:
     """Shuffle-free encode: Scan → mapInArrow, chunk = consecutive rows.
 
     The streaming-pass twin of the reference encoder (one pass, no data
     movement) — use when the input's natural clustering is already good
     (or irrelevant) and the 2× network/disk cost of a shuffle is not
     worth it.  chunk_id = (scan partition, ordinal): deterministic for
-    a fixed file layout + spark.sql.files.maxPartitionBytes; resume
-    passes the footer's chunk_ids as `done_chunk_ids` (an iterable) and
-    finished chunks skip the encode CPU inside the kernel.
+    a fixed file layout + spark.sql.files.maxPartitionBytes.
 
-    For explicit clustering / salting / skew defuse, use encode_chunks
-    (hash mode) instead.
+    Resume: pass the previous run's footer as `done_footer` — finished
+    chunks skip the encode CPU inside the kernel.  Because scan-mode
+    chunk ids are positional, the footer's `num_chunks` slot carries
+    `-2 - scan_layout_fingerprint(...)` (always < -1, so hash-mode
+    resume still rejects it); a resume whose current layout fingerprint
+    differs is refused — mirroring hash mode's num_chunks guard.
+    `done_chunk_ids` (raw iterable) stays available for tests/advanced
+    callers and performs no layout validation.
     """
     columns = columns or df.columns
+    projected = df.select(*columns)
+    fp_slot = -2 - scan_layout_fingerprint(projected, rows_per_chunk)
+    if done_footer is not None:
+        if done_chunk_ids is not None:
+            raise ValueError("pass done_footer or done_chunk_ids, "
+                             "not both")
+        prior = [r[0] for r in
+                 done_footer.select("num_chunks").distinct().collect()]
+        if prior != [fp_slot]:
+            raise ValueError(
+                f"scan-mode resume refused: footer layout fingerprint "
+                f"{prior} != current {fp_slot} — the input file "
+                f"set/sizes, rows_per_chunk or maxPartitionBytes "
+                f"changed, so positional chunk ids are not comparable; "
+                f"re-encode from scratch or use hash mode")
+        done_chunk_ids = [r[0] for r in
+                          done_footer.select("chunk_id").distinct()
+                          .collect()]
     done_b = None
     if done_chunk_ids is not None:
         sc = df.sparkSession.sparkContext
         done_b = sc.broadcast(frozenset(int(x) for x in done_chunk_ids))
-    return df.select(*columns).mapInArrow(
-        _scan_kernel(columns, rows_per_chunk, done_b, codec_overrides),
+    return projected.mapInArrow(
+        _scan_kernel(columns, rows_per_chunk, done_b, codec_overrides,
+                     fp_slot),
         CHUNK_SPARK_SCHEMA)

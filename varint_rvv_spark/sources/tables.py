@@ -57,8 +57,28 @@ def read_footer(spark: SparkSession, root: str) -> DataFrame:
 
 
 def resume_footer(spark: SparkSession, root: str) -> DataFrame | None:
-    """Footer if a previous (partial) run exists, else None."""
+    """Ledger of already-written chunks, or None for a fresh start.
+
+    Derived from the *chunks* table (payload column pruned at the
+    parquet scan), not the footer table: write_encoded persists chunks
+    and footer as two jobs, so a crash in between leaves chunks with no
+    footer rows.  The chunks dir is what decode will actually read —
+    resuming against it can neither re-encode an already-written chunk
+    (duplicate rows) nor skip a chunk that was never written.  Falls
+    back to the footer table only if the chunks dir is unreadable.
+    """
     try:
-        return read_footer(spark, root)
+        return (read_chunks(spark, root)
+                .drop("payload", "validity"))
     except Exception:
-        return None
+        try:
+            return read_footer(spark, root)
+        except Exception:
+            return None
+
+
+def rebuild_footer(spark: SparkSession, root: str) -> None:
+    """Re-derive the footer table from the chunks dir (repairs the
+    orphaned-chunks window after a crash between the two writes)."""
+    (read_chunks(spark, root).drop("payload", "validity")
+     .write.mode("overwrite").parquet(f"{root}/footer"))
