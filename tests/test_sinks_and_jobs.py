@@ -129,3 +129,34 @@ def test_resume_footer_survives_missing_footer_table(spark, pages,
     # the repair path rebuilds the footer table from chunks
     rebuild_footer(spark, root)
     assert read_footer(spark, root).count() == ledger.count()
+
+
+def test_hash_resume_across_different_split_layout(spark, pages,
+                                                   tmp_path):
+    """Kill-after-k-chunks resume, re-run from a *differently split*
+    copy of the same input: footer must complete and every chunk hash
+    must equal the uninterrupted run's (chunk ids are data-derived,
+    sort order is key-derived — layout cannot leak in)."""
+    from varint_rvv_spark.operators.encode import encode_chunks
+
+    a = str(tmp_path / "layout_a")
+    b = str(tmp_path / "layout_b")
+    pages.coalesce(1).write.mode("overwrite").parquet(a)
+    pages.repartition(5).write.mode("overwrite").parquet(b)
+
+    full = encode_chunks(spark.read.parquet(a), key_cols=["url"],
+                         num_chunks=8)
+    want = {(r["chunk_id"], r["column"]): r["value_sha256"]
+            for r in full.collect()}
+    # simulate the kill: only chunks 0..3 made it to the footer
+    done_ids = sorted({cid for cid, _ in want})[:4]
+    partial = footer_of(full).filter(F.col("chunk_id").isin(done_ids))
+    partial = spark.createDataFrame(partial.collect(), partial.schema)
+
+    rest = encode_chunks(spark.read.parquet(b), key_cols=["url"],
+                         done_footer=partial)
+    got = {(r["chunk_id"], r["column"]): r["value_sha256"]
+           for r in rest.collect()}
+    assert {cid for cid, _ in got} == set(range(8)) - set(done_ids)
+    assert got == {k: v for k, v in want.items()
+                   if k[0] not in set(done_ids)}

@@ -229,3 +229,43 @@ def test_narrow_int_roundtrip(spark):
     outc = decode_table(chunks, df.columns, schema, contiguous=True)
     assert outc.schema == df.schema
     assert sorted(map(tuple, outc.collect())) == sorted(map(tuple, rows))
+
+
+def test_verify_chunks_mismatch_diagnostics(spark):
+    """Forced corruption: hash mismatch surfaces concrete
+    (index, expected, got) samples; truncation surfaces the decode
+    error instead of killing the task."""
+    import json
+
+    df = spark.createDataFrame([(i, i * 3 + 1) for i in range(100)],
+                               "id long, v long")
+    chunks = encode_chunks(df, key_cols=["id"], num_chunks=1,
+                           codec_overrides={"v": B.VARINT, "id": B.VARINT})
+    rows = chunks.collect()
+
+    def corrupt(r, payload):
+        d = r.asDict()
+        d["payload"] = payload
+        return d
+
+    bad_rows = []
+    for r in rows:
+        p = bytearray(r["payload"])
+        if r["column"] == "v":
+            p[-1] ^= 0x01  # last varint terminator: value shifts by ±1
+            bad_rows.append(corrupt(r, bytes(p)))
+        else:
+            bad_rows.append(corrupt(r, bytes(p[:-3])))  # truncation
+    bad = spark.createDataFrame(bad_rows, chunks.schema)
+    got = {r["column"]: r for r in
+           __import__("varint_rvv_spark.operators.decode",
+                      fromlist=["verify_chunks"])
+           .verify_chunks(bad).collect()}
+    assert not got["v"]["ok"] and not got["id"]["ok"]
+    vdiag = json.loads(got["v"]["diag"])
+    samples = vdiag["mismatch_samples"]
+    assert len(samples) >= 1
+    idx, expected, actual = samples[0]
+    assert expected != actual and idx == 99  # the tampered last value
+    iddiag = json.loads(got["id"]["diag"])
+    assert "decode_error" in iddiag

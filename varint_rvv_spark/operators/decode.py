@@ -16,21 +16,71 @@ from ..codecs import blob as B
 from .arrow_bridge import values_sha256, values_to_arrow
 
 VERIFY_SCHEMA = ("chunk_id long, column string, n_values long, "
-                 "decoded_sha256 string, expected_sha256 string, ok boolean")
+                 "decoded_sha256 string, expected_sha256 string, "
+                 "ok boolean, diag string")
+
+
+def _mismatch_samples(values, dt, stats: dict, n_expected: int) -> list:
+    """First ≤10 (index, expected, got) triples from the encode-time
+    head/tail witness samples (reference example.c:154-168 twin)."""
+    if B.is_varlen(dt):
+        got_vals = [int(x) for x in values.lengths()]
+    else:
+        kind = B.NUMERIC_NP[dt].kind
+        cast = float if kind == "f" else int
+        got_vals = [cast(x) for x in values]
+    n = len(got_vals)
+    regions = [(0, stats.get("head") or [])]
+    tail = stats.get("tail") or []
+    regions.append((max(n_expected - len(tail), 0), tail))
+    samples = []
+    for base, exp in regions:
+        for j, e in enumerate(exp):
+            i = base + j
+            g = got_vals[i] if i < n else None
+            if g != e and len(samples) < 10:
+                samples.append([i, e, g])
+    return samples
 
 
 def _verify_kernel(batch_iter):
+    import json
+
     for batch in batch_iter:
         d = batch.to_pydict()
         out = {"chunk_id": d["chunk_id"], "column": d["column"],
                "n_values": [], "decoded_sha256": [],
-               "expected_sha256": d["value_sha256"], "ok": []}
-        for payload, expected in zip(d["payload"], d["value_sha256"]):
-            values, _, dt = B.decode_blob(payload)
+               "expected_sha256": d["value_sha256"], "ok": [],
+               "diag": []}
+        for payload, expected, n_exp, stats_json in zip(
+                d["payload"], d["value_sha256"], d["n_values"],
+                d["stats_json"]):
+            try:
+                values, _, dt = B.decode_blob(payload)
+            except Exception as exc:  # corruption must report, not kill
+                out["n_values"].append(-1)
+                out["decoded_sha256"].append("")
+                out["ok"].append(False)
+                out["diag"].append(json.dumps(
+                    {"decode_error": f"{type(exc).__name__}: {exc}"}))
+                continue
             got = values_sha256(values, dt)
+            ok = got == expected
             out["n_values"].append(len(values))
             out["decoded_sha256"].append(got)
-            out["ok"].append(got == expected)
+            out["ok"].append(ok)
+            if ok:
+                out["diag"].append(None)
+            else:
+                stats = json.loads(stats_json or "{}")
+                diag = {"n_values_expected": int(n_exp),
+                        "n_values_got": len(values),
+                        "mismatch_samples":
+                            _mismatch_samples(values, dt, stats,
+                                              int(n_exp))}
+                if B.is_varlen(dt):
+                    diag["samples_are"] = "row_lengths"
+                out["diag"].append(json.dumps(diag))
         yield pa.RecordBatch.from_pydict(out)
 
 
@@ -63,8 +113,14 @@ def decode_only(chunks: DataFrame) -> DataFrame:
 
 
 def verify_chunks(chunks: DataFrame) -> DataFrame:
-    """Decode every chunk and compare content hashes (bit-identity)."""
-    cols = ["chunk_id", "column", "payload", "value_sha256"]
+    """Decode every chunk and compare content hashes (bit-identity).
+
+    On mismatch the `diag` column carries a JSON diagnostic: decode
+    exceptions are captured (corruption reports instead of killing the
+    task), and the encode-time head/tail witness samples yield concrete
+    (index, expected, got) triples."""
+    cols = ["chunk_id", "column", "payload", "value_sha256", "n_values",
+            "stats_json"]
     return chunks.select(*cols).mapInArrow(_verify_kernel, VERIFY_SCHEMA)
 
 

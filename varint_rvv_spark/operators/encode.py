@@ -79,6 +79,20 @@ def _append_column_row(rows: dict, chunk_id: int, col: str, arr,
         blob, codec_id, stats = encode_auto(values, dt, stats)
     out_stats = {k: v for k, v in stats.items()
                  if isinstance(v, (int, float))}
+    # head/tail witness samples: lets verify_chunks print concrete
+    # (index, expected, got) mismatch triples — the engine twin of the
+    # reference example's first-10-mismatches diagnostic
+    # (/root/reference/example/example.c:154-168)
+    if len(values):
+        if B.is_varlen(dt):
+            lens = values.lengths()
+            out_stats["head"] = [int(x) for x in lens[:10]]
+            out_stats["tail"] = [int(x) for x in lens[-10:]]
+        else:
+            kind = B.NUMERIC_NP[dt].kind
+            cast = float if kind == "f" else int
+            out_stats["head"] = [cast(x) for x in values[:10]]
+            out_stats["tail"] = [cast(x) for x in values[-10:]]
     if (not B.is_varlen(dt) and B.NUMERIC_NP[dt].kind in "iu"
             and len(values)):
         from ..codecs.numeric import _as_u64
