@@ -68,6 +68,31 @@ def test_lsh_topk_multiprobe_recall(spark, planted):
     assert recall >= 0.8, f"recall@1 {recall:.2f}"
 
 
+def test_trained_ivf_recall(spark, planted):
+    """k-means-trained IVF with nprobe=2 finds each probe's twin."""
+    from varint_rvv_spark.operators.similarity import (
+        ivf_topk,
+        train_centroids,
+    )
+
+    cents = train_centroids(planted, k=8, sample_n=80, seed=7)
+    rows = cents.collect()
+    assert len(rows) == 8
+    norms = [sum(x * x for x in r.embedding) for r in rows]
+    assert all(abs(n - 1.0) < 1e-3 for n in norms)  # unit centroids
+    probes = planted.filter(F.col("vec_id").isin(0, 2, 4, 6, 8, 10))
+    exact = {(r.probe_id, r.vec_id)
+             for r in cosine_topk(planted, probes, k=1).collect()}
+    approx = {(r.probe_id, r.vec_id)
+              for r in ivf_topk(planted, probes, cents, k=1,
+                                nprobe=2).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"recall@1 {recall:.2f}"
+    # determinism: same seed → same centroids
+    again = train_centroids(planted, k=8, sample_n=80, seed=7).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
 def test_plane_weights_deterministic_and_centered():
     w = plane_weights(4, 64, seed=7)
     assert w == plane_weights(4, 64, seed=7)

@@ -119,6 +119,54 @@ def probe_bucket_set(n_planes: int, n_flip: int,
     return F.concat(F.array(F.col(bucket_col)), flips)
 
 
+def train_centroids(df: DataFrame, k: int = 16,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    sample_n: int = 4096, iters: int = 10,
+                    seed: int = 7) -> DataFrame:
+    """Spherical k-means IVF coarse quantizer, trained on a sample.
+
+    Scale shape: ONE sampled scan brings ≤ sample_n vectors to the
+    driver (a few MB at any corpus size), numpy iterates k-means there
+    (k·dim·iters flops — trivial), and the k unit-norm centroids go
+    back as a tiny DataFrame that every ivf_* join broadcasts.  This is
+    the standard IVF recipe: the quantizer is always trained on a
+    sample; only assignment touches the full corpus.
+
+    Deterministic: fixed seed, ties by lowest index; empty clusters are
+    reseeded to the farthest-from-assigned-centroid sample point.
+    """
+    import numpy as np
+
+    rows = df.select(vec_col).limit(sample_n).collect()
+    X = np.asarray([r[0] for r in rows], dtype=np.float64)
+    if X.shape[0] < k:
+        raise ValueError(f"sample ({X.shape[0]}) smaller than k ({k})")
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(X.shape[0], size=k, replace=False)].copy()
+    for _ in range(iters):
+        sims = X @ C.T
+        assign = np.argmax(sims, axis=1)
+        best = sims[np.arange(X.shape[0]), assign]
+        newC = np.zeros_like(C)
+        for c in range(k):
+            members = X[assign == c]
+            if members.shape[0] == 0:
+                newC[c] = X[int(np.argmin(best))]  # reseed: worst-fit
+            else:
+                m = members.sum(axis=0)
+                newC[c] = m / max(np.linalg.norm(m), 1e-12)
+        if np.allclose(newC, C):
+            break
+        C = newC
+    spark = df.sparkSession
+    data = [(i, [float(x) for x in np.asarray(C[i], dtype=np.float32)])
+            for i in range(k)]
+    return spark.createDataFrame(
+        data, f"{id_col} long, {vec_col} array<float>")
+
+
 def ivf_assign(df: DataFrame, centroids: DataFrame,
                id_col: str = "vec_id",
                vec_col: str = "embedding") -> DataFrame:
@@ -147,7 +195,7 @@ def ivf_assign(df: DataFrame, centroids: DataFrame,
 
 def ivf_topk(df: DataFrame, probe_df: DataFrame, centroids: DataFrame,
              k: int = 10, id_col: str = "vec_id",
-             vec_col: str = "embedding", nprobe: int = 1) -> DataFrame:
+             vec_col: str = "embedding", nprobe: int = 2) -> DataFrame:
     """IVF approximate top-k: exact cosine within the probe's nearest
     nprobe inverted lists.
 

@@ -602,13 +602,17 @@ FROM (SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
 
 def similarity_ivf_topk(spark, sf_dir):
     """IVF approximate top-k: deterministic coarse centroids
-    (vec_id % 40 == 0), nprobe=1, exact cosine inside the list."""
+    (vec_id % 40 == 0), nprobe=2, exact cosine inside the lists.
+
+    The oracle needs reproducible centroids, so this query uses the
+    sampled quantizer; the k-means-trained quantizer
+    (similarity.train_centroids) is recall-tested in pytest."""
     from .operators.similarity import ivf_topk
 
     e = _t(spark, sf_dir, "embeddings")
     centroids = e.filter(F.col("vec_id") % 40 == 0)
     probes = e.filter(F.col("vec_id").isin(1, 2, 3))
-    return ivf_topk(e, probes, centroids, k=5)
+    return ivf_topk(e, probes, centroids, k=5, nprobe=2)
 
 
 SIMILARITY_IVF_SQL = """
@@ -635,7 +639,7 @@ probes AS (
                          * sqrt(list_dot_product(c.cv, c.cv))), 9) DESC,
                       c.centroid_id ASC) AS rk
     FROM embeddings e, cent c WHERE e.vec_id IN (1, 2, 3)) t
-  WHERE rk = 1)
+  WHERE rk <= 2)
 SELECT probe_id, vec_id, cosine, rk FROM (
   SELECT p.probe_id, a.vec_id,
          ROUND(list_dot_product(a.embedding, p.pv)
