@@ -83,22 +83,43 @@ print(enc.nbytes / best_of(lambda: varint_decode(enc), 5))
     return sum(rates) / (1 << 20)
 
 
+def size_sweep(dist, name: str) -> list[str]:
+    """Input-size sweep 2^8–2^20 *values* (mirrors the reference's
+    benchmark.cc:191-215 size loop): exposes per-call overhead on
+    small buffers vs steady-state throughput on large ones."""
+    out = []
+    for logn in (8, 11, 14, 17, 20):
+        vals = gen(dist, 1 << logn)
+        enc = varint_encode(vals)
+        varint_decode(enc)  # warm
+        reps = 9 if logn <= 14 else 5
+        t32 = best_of(lambda: varint_decode(enc, np.uint32), reps)
+        mibs = enc.nbytes / t32 / (1 << 20)
+        out.append(f"| {name} | 2^{logn} | {enc.nbytes:,} "
+                   f"| {mibs:,.0f} |")
+    return out
+
+
 def main() -> None:
     rows = []
+    sweep_rows = []
     for name, dist in DISTS.items():
         vals = gen(dist, 1 << 20)
         enc = varint_encode(vals)
         varint_decode(enc)  # warm
         t_dec = best_of(lambda: varint_decode(enc))
+        t_dec32 = best_of(lambda: varint_decode(enc, np.uint32))
         t_enc = best_of(lambda: varint_encode(vals))
         dec_mibs = enc.nbytes / t_dec / (1 << 20)
+        dec32_mibs = enc.nbytes / t_dec32 / (1 << 20)
         enc_mibs = enc.nbytes / t_enc / (1 << 20)
         agg = parallel_decode_aggregate(dist)
         ref_vec, ref_scalar = REF[name]
         rows.append(f"| {name} | {enc.nbytes:,} | {dec_mibs:,.0f} "
-                    f"| {agg:,.0f} | {enc_mibs:,.0f} | {ref_vec} "
-                    f"| {ref_scalar} |")
+                    f"| {dec32_mibs:,.0f} | {agg:,.0f} | {enc_mibs:,.0f} "
+                    f"| {ref_vec} | {ref_scalar} |")
         print(rows[-1])
+        sweep_rows.extend(size_sweep(dist, name))
     md = REPO / "BENCH" / "KERNELS.md"
     md.write_text(
         "# Varint kernel microbenchmark vs reference\n\n"
@@ -115,11 +136,32 @@ def main() -> None:
         "engine's deployment shape is one chunk per worker — the\n"
         "8-process aggregate column is what a single 8-core executor\n"
         "contributes.\n\n"
-        "| distribution | stream bytes | decode MiB/s (1 core) "
+        "| distribution | stream bytes | decode MiB/s u64 (1 core) "
+        "| decode MiB/s u32 (1 core) "
         "| decode MiB/s (8-proc aggregate) | encode MiB/s (1 core) "
         "| reference vectorized decode (1 core) "
         "| reference scalar decode |\n"
-        "|---|---|---|---|---|---|---|\n" + "\n".join(rows) + "\n\n"
+        "|---|---|---|---|---|---|---|---|\n" + "\n".join(rows) + "\n\n"
+        "## Kernel iteration history (round 2)\n\n"
+        "Three candidate kernels were A/B'd interleaved (min-of-5×3):\n"
+        "the active-set kernel (shipped), a cumsum+reduceat kernel\n"
+        "(3 full-stream passes, no data-dependent loop), and a\n"
+        "group-by-byte-length kernel.  reduceat reached only 25-33\n"
+        "MiB/s and by-length 22-29 MiB/s vs the active set's 30-45 —\n"
+        "on this host full-stream passes lose to the shrinking active\n"
+        "set on every distribution, so the LUT-style single-pass\n"
+        "rewrite (reference masked_vbyte) has no numpy-visible win; the\n"
+        "negative result stands.  Two micro-wins were kept (1.3-1.7×\n"
+        "combined): the round-k read position is always ends-k (no\n"
+        "per-round position scatter), and a uint32 accumulator when\n"
+        "the column dtype fits 32 bits.\n\n"
+        "## Input-size sweep (u32 decode, MiB/s, 1 core)\n\n"
+        "Mirrors the reference's 2^8-2^20 size loop\n"
+        "(benchmark.cc:191-215): small buffers expose per-call\n"
+        "overhead; the engine's chunks are ≥64 Ki values so the\n"
+        "steady-state row is the deployed regime.\n\n"
+        "| distribution | values | stream bytes | decode MiB/s |\n"
+        "|---|---|---|---|\n" + "\n".join(sweep_rows) + "\n\n"
         "Same decode semantics (bit-identical output, scalar-oracle\n"
         "checked in tests/test_varint.py); the engine's end-to-end\n"
         "numbers over full pages tables are in BENCH/BASELINE.md.\n")

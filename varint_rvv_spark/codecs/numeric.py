@@ -56,7 +56,11 @@ def enc_varint(values, dtype_code: int) -> bytes:
 
 def dec_varint(payload, n: int, dtype_code: int):
     buf = np.frombuffer(payload, dtype=np.uint8)
-    u = varint_decode(buf, out_dtype=np.uint64)
+    # uint32 columns zero-extend (≤5-byte varints), so the kernel can
+    # run its uint32 accumulator; signed types sign-extend to u64
+    out_dt = (np.uint32 if B.NUMERIC_NP[dtype_code] == np.dtype("<u4")
+              else np.uint64)
+    u = varint_decode(buf, out_dtype=out_dt)
     if u.shape[0] != n:
         raise ValueError(f"varint decode produced {u.shape[0]} values, expected {n}")
     return _from_u64(u, dtype_code)

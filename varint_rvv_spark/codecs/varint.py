@@ -96,23 +96,30 @@ def varint_decode(buf: np.ndarray, out_dtype=np.uint64) -> np.ndarray:
     # walking toward the value's first byte; the active set shrinks to
     # only still-multi-byte values each round — the numpy transpose of
     # the reference's early-out per byte-level (vecshift.c:68-71,
-    # maskshift.c:186-210).
-    res = buf[ends].astype(np.uint64)
-    p = ends - 1
-    idx = np.flatnonzero(p >= 0)
-    idx = idx[cont[p[idx]]]
-    rounds = 0
+    # maskshift.c:186-210).  Two measured wins over the naive version
+    # (interleaved A/B in BENCH/KERNELS.md, 1.3-1.7x):
+    # * a value active at round k is always reading byte ends-k, so no
+    #   per-round position array to gather/scatter;
+    # * when the caller's dtype fits 32 bits (≤5-byte varints), the
+    #   accumulator runs in uint32 — half the memory traffic.
+    acc_dt = (np.uint32 if np.dtype(out_dtype).itemsize <= 4
+              else np.uint64)
+    max_rounds = 4 if acc_dt == np.uint32 else 9
+    res = buf[ends].astype(acc_dt)
+    idx = np.flatnonzero((ends >= 1) & cont[np.maximum(ends - 1, 0)])
+    k = 1
     while idx.size:
-        pi = p[idx]
-        res[idx] = (res[idx] << np.uint64(7)) | (buf[pi] & np.uint8(0x7F))
-        p[idx] = pi - 1
+        if k > max_rounds:
+            raise ValueError(
+                f"varint longer than {max_rounds + 1} bytes (malformed "
+                f"stream for {np.dtype(out_dtype)})")
+        pi = ends[idx] - k
+        res[idx] = (res[idx] << acc_dt(7)) | (buf[pi] & np.uint8(0x7F))
         nxt = pi - 1
         keep = nxt >= 0
         idx = idx[keep]
         idx = idx[cont[nxt[keep]]]
-        rounds += 1
-        if rounds > 9:
-            raise ValueError("varint longer than 10 bytes (malformed stream)")
+        k += 1
     return res.astype(out_dtype, copy=False)
 
 
