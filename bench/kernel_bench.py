@@ -143,18 +143,21 @@ def main() -> None:
         "| reference scalar decode |\n"
         "|---|---|---|---|---|---|---|---|\n" + "\n".join(rows) + "\n\n"
         "## Kernel iteration history (round 2)\n\n"
-        "Three candidate kernels were A/B'd interleaved (min-of-5×3):\n"
+        "Four candidate kernels were A/B'd interleaved (min-of-5×3):\n"
         "the active-set kernel (shipped), a cumsum+reduceat kernel\n"
-        "(3 full-stream passes, no data-dependent loop), and a\n"
-        "group-by-byte-length kernel.  reduceat reached only 25-33\n"
-        "MiB/s and by-length 22-29 MiB/s vs the active set's 30-45 —\n"
-        "on this host full-stream passes lose to the shrinking active\n"
-        "set on every distribution, so the LUT-style single-pass\n"
-        "rewrite (reference masked_vbyte) has no numpy-visible win; the\n"
-        "negative result stands.  Two micro-wins were kept (1.3-1.7×\n"
-        "combined): the round-k read position is always ends-k (no\n"
-        "per-round position scatter), and a uint32 accumulator when\n"
-        "the column dtype fits 32 bits.\n\n"
+        "(3 full-stream passes, no data-dependent loop), a\n"
+        "group-by-byte-length kernel, and the masked-vbyte-style\n"
+        "gather-expand kernel (K6; shipped as varint_decode_gather for\n"
+        "algorithmic parity).  reduceat reached only 25-33 MiB/s,\n"
+        "by-length 22-29, and gather-expand 9-27 (best at high\n"
+        "continuation density: 27 MiB/s at 0.67 density vs the active\n"
+        "set's 69) vs the active set's 30-84 — on this host full-stream\n"
+        "passes and (n×width) gathers lose to the shrinking active set\n"
+        "at every distribution, so the LUT-style single-pass rewrite\n"
+        "has no numpy-visible win; the negative result stands.  Two\n"
+        "micro-wins were kept (1.3-1.7× combined): the round-k read\n"
+        "position is always ends-k (no per-round position scatter), and\n"
+        "a uint32 accumulator when the column dtype fits 32 bits.\n\n"
         "## Input-size sweep (u32 decode, MiB/s, 1 core)\n\n"
         "Mirrors the reference's 2^8-2^20 size loop\n"
         "(benchmark.cc:191-215): small buffers expose per-call\n"

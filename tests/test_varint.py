@@ -143,3 +143,30 @@ def test_property_roundtrip(xs):
 def test_property_zigzag(xs):
     vals = np.array(xs, dtype=np.int64)
     np.testing.assert_array_equal(zigzag_decode(zigzag_encode(vals)), vals)
+
+
+@pytest.mark.parametrize("dist", list(DISTS))
+def test_gather_kernel_matches_active_set(dist):
+    """K6 parity kernel (masked-vbyte-style gather expand) is
+    bit-identical to the default kernel on every distribution."""
+    from varint_rvv_spark.codecs.varint import varint_decode_gather
+
+    vals = gen_dist(DISTS[dist], 65536)
+    enc = varint_encode(vals)
+    assert (varint_decode_gather(enc) == vals).all()
+    assert (varint_decode_gather(enc, np.uint32)
+            == vals.astype(np.uint32)).all()
+
+
+def test_gather_kernel_u64_and_errors():
+    from varint_rvv_spark.codecs.varint import varint_decode_gather
+
+    v = np.array([0, 1, 2**63, 2**64 - 1, 127, 128], dtype=np.uint64)
+    enc = varint_encode(v)
+    assert (varint_decode_gather(enc) == v).all()
+    with pytest.raises(ValueError, match="truncated"):
+        varint_decode_gather(enc[:-1])
+    assert varint_decode_gather(np.empty(0, dtype=np.uint8)).size == 0
+    # all-1-byte fast path
+    ones = varint_encode(np.arange(100, dtype=np.uint64))
+    assert (varint_decode_gather(ones) == np.arange(100)).all()

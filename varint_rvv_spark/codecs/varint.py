@@ -123,6 +123,55 @@ def varint_decode(buf: np.ndarray, out_dtype=np.uint64) -> np.ndarray:
     return res.astype(out_dtype, copy=False)
 
 
+def varint_decode_gather(buf: np.ndarray, out_dtype=np.uint64,
+                         max_len: int = 10) -> np.ndarray:
+    """Masked-VByte-style branch-free decode (K6 parity kernel).
+
+    The reference's masked_vbyte
+    (/root/reference/lib/src/varint_decode_maskedvbyte.c:26-97) turns
+    the continuation-bit mask into a 4096-entry pshufb LUT that
+    *expands* each value's bytes into fixed lanes, then combines lanes
+    with fixed shifts — no data-dependent branches.  numpy has real
+    gather indexing, so the LUT's shuffle control collapses to index
+    arithmetic: lane k of value i is buf[starts[i] + k], masked by
+    k < len[i]; the combine is the same fixed-shift OR tree.
+
+    Measured (BENCH/KERNELS.md round-2 history): the (n × max_len)
+    gather is 5-9× slower than the active-set kernel on this host at
+    every continuation density, so `varint_decode` stays the default —
+    this kernel exists for algorithmic parity with the reference and is
+    oracle-tested to bit-identity.
+    """
+    buf = np.ascontiguousarray(buf, dtype=np.uint8)
+    n = buf.size
+    if n == 0:
+        return np.empty(0, dtype=out_dtype)
+    cont = buf >= 0x80
+    if not cont.any():
+        return buf.astype(out_dtype)
+    ends = np.flatnonzero(~cont)
+    if ends[-1] != n - 1:
+        raise ValueError("truncated varint stream (no terminator at end)")
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    lens = ends - starts + 1
+    if int(lens.max()) > max_len:
+        raise ValueError(f"varint longer than {max_len} bytes")
+    width = int(lens.max())
+    acc_dt = (np.uint32 if np.dtype(out_dtype).itemsize <= 4
+              and width <= 5 else np.uint64)
+    idx = starts[:, None] + np.arange(width, dtype=np.int64)[None, :]
+    valid = np.arange(width)[None, :] < lens[:, None]
+    lanes = buf[np.minimum(idx, n - 1)].astype(acc_dt)
+    lanes &= acc_dt(0x7F)
+    lanes *= valid
+    res = lanes[:, 0].copy()
+    for k in range(1, width):
+        res |= lanes[:, k] << acc_dt(7 * k)
+    return res.astype(out_dtype, copy=False)
+
+
 def varint_decode_scalar(buf, out_dtype=np.uint64):
     """Golden scalar oracle (tests only).
 
