@@ -469,6 +469,71 @@ FROM comp GROUP BY comp
 """
 
 
+def embedding_neardup_survivors(spark, sf_dir):
+    """Embedding near-dup groups: LSH-bucketed pairs → connected
+    components → per-group survivors (same pipeline shape as
+    dedup_minhash_survivors, over the vector modality)."""
+    from .operators.dedup import connected_components, \
+        embedding_neardup_pairs
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    pairs = embedding_neardup_pairs(e, threshold=0.35, n_planes=4,
+                                    dim=64)
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    return (comp.groupBy(F.col("comp").alias("group_id"))
+            .agg(F.count("*").alias("n_members"),
+                 F.sum("id").alias("sum_member_ids")))
+
+
+def _embedding_survivors_sql(n_planes: int = 4, dim: int = 64,
+                             threshold: float = 0.35) -> str:
+    cos = ("list_dot_product(a.embedding, b.embedding)"
+           " / (sqrt(list_dot_product(a.embedding, a.embedding))"
+           " * sqrt(list_dot_product(b.embedding, b.embedding)))")
+    return f"""
+WITH RECURSIVE {_lsh_buckets_cte(n_planes, dim, "WHERE vec_id < 200")},
+edges AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buck a JOIN buck b USING (bucket)
+  WHERE a.vec_id < b.vec_id AND ROUND({cos}, 5) >= {threshold}),
+sym AS (SELECT id_a AS src, id_b AS dst FROM edges
+        UNION SELECT id_b, id_a FROM edges),
+reach(id, comp) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT s.src, r.comp FROM sym s JOIN reach r ON s.dst = r.id),
+comp AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id)
+SELECT comp AS group_id, COUNT(*) AS n_members,
+       CAST(SUM(id) AS BIGINT) AS sum_member_ids
+FROM comp GROUP BY comp
+"""
+
+
+def sample_documents_deterministic(spark, sf_dir):
+    """Deterministic 20% hash-sample of documents (md5 bucket < 20) —
+    the reproducible down-sampling primitive of a training-data
+    pipeline: executor-independent, resumable, oracle-checkable."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                                1, 8), 16, 10).cast("long") % 100
+    return (d.filter(bucket < 20)
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("doc_id").alias("sum_ids"),
+                 F.sum("n_chars").alias("sum_chars")))
+
+
+SAMPLE_DOCS_SQL = """
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      % 100 < 20
+GROUP BY lang
+"""
+
+
 def dedup_simhash(spark, sf_dir):
     """60-bit SimHash fingerprints for a deterministic doc subset."""
     from .operators.dedup import simhash64
@@ -1087,6 +1152,8 @@ QUERIES = {
     "dedup_minhash_survivors": dedup_minhash_survivors,
     "dedup_simhash": dedup_simhash,
     "embedding_neardup": embedding_neardup,
+    "embedding_neardup_survivors": embedding_neardup_survivors,
+    "sample_documents_deterministic": sample_documents_deterministic,
     "text_lang_id": text_lang_id,
     "text_token_counts": text_token_counts,
     "text_fingerprint_dupes": text_fingerprint_dupes,
@@ -1125,6 +1192,8 @@ ORACLES = {
     "dedup_minhash_survivors": _minhash_survivors_sql(),
     "dedup_simhash": _simhash_sql(),
     "embedding_neardup": _embedding_neardup_sql(),
+    "embedding_neardup_survivors": _embedding_survivors_sql(),
+    "sample_documents_deterministic": SAMPLE_DOCS_SQL,
     "text_lang_id": _lang_id_sql(),
     "text_token_counts": TEXT_TOKEN_COUNTS_SQL,
     "text_fingerprint_dupes": TEXT_FINGERPRINT_SQL,
