@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..functions import md5_long, tokens
+
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Keep lowest id per exact content group; returns survivors."""
@@ -43,7 +45,7 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str,
     old posexplode+Window plan that shuffled and sorted every token of
     every document.
     """
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = tokens(text_col)
     n = F.size(toks)
     gram = toks
     for i in range(1, k):
@@ -224,11 +226,9 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Σ_tokens (±1 depending on hash bit b).
     """
     toks = (df.select(F.col(id_col),
-                      F.explode(F.split(F.trim(F.col(text_col)), r"\s+"))
-                      .alias("tok"))
+                      F.explode(tokens(text_col)).alias("tok"))
             .filter(F.col("tok") != ""))
-    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
-    toks = toks.select(id_col, h.alias("h"))
+    toks = toks.select(id_col, md5_long("tok", 15).alias("h"))
     # per-bit balance: sum(+1/-1) over tokens (60 bits from 15 hex chars)
     bit_sums = [F.sum(F.when(F.shiftright(F.col("h"), b)
                              .bitwiseAND(F.lit(1)) == 1, 1)

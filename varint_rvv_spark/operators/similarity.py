@@ -13,15 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-
-def _norm(col) -> F.Column:
-    return F.sqrt(F.aggregate(F.transform(col, lambda x: x * x),
-                              F.lit(0.0), lambda a, x: a + x))
-
-
-def _dot(a, b) -> F.Column:
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
-                       F.lit(0.0), lambda acc, x: acc + x)
+from ..functions import vec_dot as _dot, vec_norm as _norm
 
 
 def cosine_topk(df: DataFrame, probe_df: DataFrame, k: int = 10,

@@ -513,10 +513,10 @@ def sample_documents_deterministic(spark, sf_dir):
     """Deterministic 20% hash-sample of documents (md5 bucket < 20) —
     the reproducible down-sampling primitive of a training-data
     pipeline: executor-independent, resumable, oracle-checkable."""
+    from .functions import md5_bucket
+
     d = _t(spark, sf_dir, "documents")
-    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
-                                1, 8), 16, 10).cast("long") % 100
-    return (d.filter(bucket < 20)
+    return (d.filter(md5_bucket("doc_id", 100) < 20)
             .groupBy("lang")
             .agg(F.count("*").alias("n_docs"),
                  F.sum("doc_id").alias("sum_ids"),
