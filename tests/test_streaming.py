@@ -103,3 +103,73 @@ def test_windowed_metrics_with_watermark(spark, tmp_path):
     assert len(got) == 5
     assert all(r["n_chunks"] == 6 for r in got)
     assert got[0]["raw_bytes"] == sum(100 + i for i in range(6))
+
+
+def test_simhash_expr_matches_batch_operator(spark):
+    """functions.simhash60_expr (map-side array expr) equals the batch
+    explode+groupBy simhash64 on real documents."""
+    from varint_rvv_spark.functions import simhash60_expr
+    from varint_rvv_spark.operators.dedup import simhash64
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .limit(50).cache())
+    got = {r.doc_id: r.fp for r in
+           docs.select("doc_id",
+                       simhash60_expr("text").alias("fp")).collect()}
+    want = {r.doc_id: r.simhash for r in
+            simhash64(docs, "doc_id", "text").collect()}
+    assert got == want
+
+
+def test_streaming_simhash_neardup(spark, tmp_path):
+    """Near-dup suppression across micro-batches with bounded state."""
+    from varint_rvv_spark.functions import simhash60_expr
+    from varint_rvv_spark.streaming.stateful import (
+        streaming_simhash_neardup,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark forest tonight")
+    rows1 = [(1, base), (2, base), (3, "completely different words "
+              "about astronomy telescopes galaxies and quasars")]
+    rows2 = [(4, base + " again"), (5, "totally novel content on "
+              "cooking pasta with garlic butter and fresh basil")]
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "nd_in")
+    ckpt = str(tmp_path / "nd_ckpt")
+    out = str(tmp_path / "nd_out")
+
+    # expected: greedy by doc_id per prefix bucket, hamming<=3
+    fps = {r.doc_id: (r.fp, r.fp >> 44) for r in
+           spark.createDataFrame(rows1 + rows2, schema)
+           .select("doc_id", simhash60_expr("text").alias("fp"))
+           .collect()}
+
+    def expected(batches):
+        kept_by_bucket, out_ids, seen = {}, [], []
+        for batch in batches:
+            for did, _ in sorted(batch):
+                fp, b = fps[did]
+                kept = kept_by_bucket.setdefault(b, [])
+                if any(bin(fp ^ k).count("1") <= 3 for k in kept):
+                    continue
+                kept.append(fp)
+                out_ids.append(did)
+        return sorted(out_ids)
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (streaming_simhash_neardup(stream, "doc_id", "text")
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    spark.createDataFrame(rows1, schema).write.mode("append").parquet(src)
+    run_once()
+    spark.createDataFrame(rows2, schema).write.mode("append").parquet(src)
+    run_once()
+    got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert got == expected([rows1, rows2])
+    assert 1 in got and 2 not in got  # exact dup suppressed in-batch
+    assert 4 not in got               # near-dup suppressed cross-batch

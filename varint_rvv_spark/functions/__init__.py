@@ -39,6 +39,36 @@ def md5_bucket(col, buckets: int) -> Column:
                     8) % buckets
 
 
+def simhash60_expr(text_col: str) -> Column:
+    """60-bit SimHash as a single map-side array expression (no
+    explode, no groupBy, no UDF) — the streaming-safe twin of
+    operators/dedup.simhash64 (equality asserted in tests).
+
+    Built with F.expr because per-bit extraction needs expression
+    arguments (`h div 2^b`) that the pyspark wrappers of
+    shiftright/substring only accept as Python ints.  2^b for b ≤ 59
+    is exact in a double, so `cast(pow(2, b) as bigint)` is lossless.
+    """
+    return F.expr(f"""
+aggregate(
+  zip_with(
+    aggregate(
+      transform(filter(split(trim({text_col}), '\\\\s+'), t -> t <> ''),
+                t -> cast(conv(substring(md5(t), 1, 15), 16, 10)
+                          as bigint)),
+      array_repeat(0L, 60),
+      (acc, h) -> zip_with(
+        acc,
+        transform(sequence(0, 59),
+                  b -> case when (h div cast(pow(2, b) as bigint)) % 2 = 1
+                            then 1 else -1 end),
+        (a, x) -> a + x)),
+    sequence(0, 59),
+    (s, b) -> case when s > 0 then cast(pow(2, b) as bigint) else 0L end),
+  0L, (a, x) -> a + x)
+""".strip())
+
+
 def vec_dot(a, b) -> Column:
     """Dot product of two array<numeric> columns (JVM-side fold)."""
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),

@@ -54,3 +54,62 @@ def streaming_exact_dedup(stream: DataFrame, text_col: str,
             .applyInPandasWithState(dedup, output_schema, STATE_SCHEMA,
                                     "append",
                                     GroupStateTimeout.NoTimeout))
+
+
+def streaming_simhash_neardup(stream: DataFrame, id_col: str,
+                              text_col: str, prefix_bits: int = 16,
+                              hamming_max: int = 3,
+                              max_keep: int = 128) -> DataFrame:
+    """Cross-batch *near*-duplicate suppression at ingest.
+
+    Per-doc 60-bit SimHash is computed map-side as a pure array
+    expression (functions.simhash60_expr — no explode/groupBy/UDF,
+    streaming-safe).  State is keyed by the fingerprint's top
+    `prefix_bits` (one state row per prefix bucket, each holding ≤
+    `max_keep` kept fingerprints): a new doc is dropped when any kept
+    fingerprint in its bucket is within `hamming_max` bits.
+
+    Recall envelope (documented, like one-table multi-probe SimHash):
+    near-dups are only compared when they share the prefix — for
+    hamming_max=3 over 60 bits, P(all flipped bits avoid a 16-bit
+    prefix) ≈ (44/60)^3 ≈ 0.39 worst case, rising steeply for closer
+    dups; raise recall by lowering prefix_bits (bigger buckets) or
+    running B rotated tables.  Memory is bounded: ≤ 2^prefix_bits ×
+    max_keep longs in the state store, hash-partitioned.
+    """
+    import numpy as np
+
+    from ..functions import simhash60_expr
+
+    keyed = (stream
+             .withColumn("simhash", simhash60_expr(text_col))
+             .withColumn("bucket",
+                         F.shiftright("simhash", 60 - prefix_bits)))
+    out_schema = f"bucket long, {id_col} long, simhash long"
+
+    def suppress(key, pdf_iter, state: GroupState):
+        (bucket,) = key
+        kept = list(state.get[0]) if state.exists else []
+        novel_ids, novel_fps = [], []
+        for pdf in pdf_iter:
+            # deterministic order: arrival order varies by partitioning
+            for _, row in pdf.sort_values(id_col).iterrows():
+                h = int(row["simhash"])
+                if any(bin(h ^ int(k)).count("1") <= hamming_max
+                       for k in kept):
+                    continue
+                if len(kept) < max_keep:
+                    kept.append(h)
+                novel_ids.append(int(row[id_col]))
+                novel_fps.append(h)
+        state.update((kept,))
+        if novel_ids:
+            yield pd.DataFrame({
+                "bucket": np.full(len(novel_ids), bucket,
+                                  dtype=np.int64),
+                id_col: novel_ids, "simhash": novel_fps})
+
+    return (keyed.groupBy("bucket")
+            .applyInPandasWithState(suppress, out_schema,
+                                    "kept array<long>", "append",
+                                    GroupStateTimeout.NoTimeout))
