@@ -128,18 +128,25 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 
 def jaccard_verify_pairs(df: DataFrame, pairs: DataFrame, id_col: str,
                          text_col: str, k: int = 3,
-                         threshold: float = 0.5) -> DataFrame:
+                         threshold: float = 0.5,
+                         shingles: DataFrame | None = None) -> DataFrame:
     """Exact Jaccard verification restricted to candidate pairs.
 
-    The LSH pruning makes this scale-safe: shingles are built only for
+    The LSH pruning makes this scale-safe: shingles are kept only for
     docs that appear in a candidate pair (left_semi pushdown), and the
     intersection join fans out per-candidate-pair, never all-pairs.
+    Pass `shingles` to reuse an already-built shingle table (the
+    end-to-end pipeline shares one with the MinHash stage instead of
+    re-scanning the corpus).
     """
     ids = (pairs.select(F.col("id_a").alias(id_col))
            .union(pairs.select(F.col("id_b").alias(id_col)))
            .distinct())
-    sub = df.join(ids, [id_col], "left_semi")
-    sh = word_shingles(sub, id_col, text_col, k)
+    if shingles is None:
+        sub = df.join(ids, [id_col], "left_semi")
+        sh = word_shingles(sub, id_col, text_col, k)
+    else:
+        sh = shingles.join(ids, [id_col], "left_semi")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -198,9 +205,15 @@ def minhash_dedup_components(df: DataFrame, id_col: str, text_col: str,
                              threshold: float = 0.5) -> DataFrame:
     """End-to-end MinHash dedup: LSH candidates → exact-Jaccard verify
     → connected components.  Returns (id, comp) for every member of a
-    verified duplicate group (comp = group min id = the survivor)."""
-    cand = minhash_lsh_pairs(df, id_col, text_col, k, n_hashes, bands)
-    edges = jaccard_verify_pairs(df, cand, id_col, text_col, k, threshold)
+    verified duplicate group (comp = group min id = the survivor).
+
+    The shingle table is built once and shared by the signature and
+    verify stages (one corpus scan, not two)."""
+    sh = word_shingles(df, id_col, text_col, k)
+    sig = minhash_signatures(sh, id_col, n_hashes)
+    cand = lsh_candidate_pairs(sig, id_col, n_hashes, bands)
+    edges = jaccard_verify_pairs(df, cand, id_col, text_col, k,
+                                 threshold, shingles=sh)
     return connected_components(edges)
 
 
