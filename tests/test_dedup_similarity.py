@@ -138,3 +138,28 @@ def test_word_shingles_matches_naive(spark):
         for i in range(len(toks) - 2):
             want.add((did, " ".join(toks[i:i + 3])))
     assert got == want
+
+
+def test_ivf_index_partition_pruning(spark, planted, tmp_path):
+    """Written IVF index: probes scan only their nprobe list
+    partitions (PartitionFilters at the parquet scan), and results
+    equal the in-memory ivf_topk."""
+    from varint_rvv_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_from_index,
+        train_centroids,
+        write_ivf_index,
+    )
+
+    root = str(tmp_path / "ivf")
+    cents = train_centroids(planted, k=8, sample_n=80, seed=7)
+    cents = spark.createDataFrame(cents.collect(), cents.schema)
+    write_ivf_index(planted, cents, root)
+    probes = planted.filter(F.col("vec_id").isin(0, 2, 4))
+    out = ivf_topk_from_index(spark, root, probes, k=3, nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid_id" in plan
+    got = {(r.probe_id, r.vec_id, r.cosine) for r in out.collect()}
+    want = {(r.probe_id, r.vec_id, r.cosine) for r in
+            ivf_topk(planted, probes, cents, k=3, nprobe=2).collect()}
+    assert got == want

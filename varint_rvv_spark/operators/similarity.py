@@ -223,6 +223,65 @@ def ivf_topk(df: DataFrame, probe_df: DataFrame, centroids: DataFrame,
             .filter(F.col("rk") <= k))
 
 
+def write_ivf_index(df: DataFrame, centroids: DataFrame, root: str,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    mode: str = "overwrite") -> None:
+    """Materialize the IVF inverted lists, partitioned by centroid.
+
+    This is the 100 TB ANN storage shape: assignment runs once
+    (broadcast-centroid argmin), the corpus lands partitioned by
+    `centroid_id`, and every probe afterwards scans only its nprobe
+    list directories (partition pruning at the parquet scan — asserted
+    in test_plans).  Centroids are persisted alongside so probes don't
+    need the training set.
+    """
+    assigned = ivf_assign(df, centroids, id_col, vec_col)
+    (assigned.write.mode(mode).partitionBy("centroid_id")
+     .parquet(f"{root}/lists"))
+    (centroids.select(F.col(id_col).alias("centroid_id"),
+                      F.col(vec_col).alias("centroid_vec"))
+     .write.mode(mode).parquet(f"{root}/centroids"))
+
+
+def ivf_topk_from_index(spark, root: str, probe_df: DataFrame,
+                        k: int = 10, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        nprobe: int = 2) -> DataFrame:
+    """Probe a written IVF index: nearest nprobe centroids per probe,
+    then exact cosine over ONLY those list partitions (the
+    `centroid_id IN (...)` filter prunes at the scan)."""
+    from pyspark.sql.window import Window
+
+    cents = spark.read.parquet(f"{root}/centroids")
+    pj = probe_df.select(F.col(id_col).alias("probe_id"),
+                         F.col(vec_col).alias("probe_vec")) \
+        .crossJoin(F.broadcast(cents))
+    pcos = (_dot(F.col("probe_vec"), F.col("centroid_vec"))
+            / (_norm(F.col("probe_vec")) * _norm(F.col("centroid_vec"))))
+    wp = Window.partitionBy("probe_id").orderBy(F.desc("pcos"),
+                                                F.asc("centroid_id"))
+    probes = (pj.select("probe_id", "probe_vec",
+                        F.round(pcos, 9).alias("pcos"), "centroid_id")
+              .withColumn("prk", F.row_number().over(wp))
+              .filter(F.col("prk") <= nprobe)
+              .select("probe_id", "probe_vec", "centroid_id"))
+    wanted = [r["centroid_id"] for r in
+              probes.select("centroid_id").distinct().collect()]
+    lists = (spark.read.parquet(f"{root}/lists")
+             .filter(F.col("centroid_id").isin(wanted)))
+    joined = lists.join(F.broadcast(probes), "centroid_id") \
+        .filter(F.col(id_col) != F.col("probe_id"))
+    cos = (_dot(F.col(vec_col), F.col("probe_vec"))
+           / (_norm(F.col(vec_col)) * _norm(F.col("probe_vec"))))
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"),
+                                               F.asc(id_col))
+    return (joined.select("probe_id", F.col(id_col),
+                          F.round(cos, 5).alias("cosine"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k))
+
+
 def lsh_cosine_topk(df: DataFrame, probe_df: DataFrame, k: int = 10,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     n_planes: int = 16, seed: int = 7, dim: int = 64,
