@@ -140,6 +140,15 @@ def main() -> None:
                       master=f"local[{CPUS}]", shuffle_partitions=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry_mod.queries()
+    # untimed warm-up: touch every input table and spin the python
+    # workers once, so per-query numbers reflect the *plans* rather
+    # than JVM JIT / python-worker cold start (a 100 TB job is always
+    # warm; round-1 numbers folded ~3s of cold start into tpch_q1)
+    for t in ["region", "nation", "customer", "orders", "lineitem",
+              "documents", "events", "embeddings"]:
+        spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
+    spark.range(1000).mapInArrow(lambda it: it, "id long").count()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
