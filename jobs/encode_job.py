@@ -85,6 +85,15 @@ def main() -> None:
         n, bad = verify_roundtrip(chunks)
         out["verified_chunks"] = n
         out["mismatched_chunks"] = bad
+        if bad:
+            from varint_rvv_spark.operators.decode import verify_chunks
+
+            out["mismatch_diags"] = [
+                {"chunk_id": r["chunk_id"], "column": r["column"],
+                 "diag": json.loads(r["diag"] or "{}")}
+                for r in (verify_chunks(chunks).filter("NOT ok")
+                          .select("chunk_id", "column", "diag")
+                          .limit(10).collect())]
     print(json.dumps(out))
     spark.stop()
     if args.verify and out["mismatched_chunks"]:

@@ -170,3 +170,61 @@ def test_property_auto_str(xs):
     blob, _, _ = C.encode_auto(va, B.DT_STR)
     out = C.decode_values(blob)
     assert out.to_pylist(as_str=True) == xs
+
+
+# --- SCALED (codec 8): decimals-in-doubles ---
+
+def test_scaled_roundtrip_exponents():
+    from varint_rvv_spark.codecs.scaled import scaled_exponent
+
+    rng = np.random.default_rng(9)
+    for k in range(5):
+        si = rng.integers(-10**6, 10**6, 5000)
+        v = si / (10.0 ** k)
+        got_k = scaled_exponent(v)
+        assert got_k is not None and got_k <= k
+        blob = C.encode_blob(B.SCALED, B.DT_F64, v)
+        out = np.asarray(C.decode_values(blob))
+        assert (out.view(np.int64) == v.view(np.int64)).all()
+        assert len(blob) < v.nbytes / 2  # decisively beats raw
+
+
+def test_scaled_rejects_inexact_and_nonfinite():
+    from varint_rvv_spark.codecs.scaled import scaled_exponent
+
+    assert scaled_exponent(np.array([0.1234567])) is None  # needs k>4
+    assert scaled_exponent(np.array([np.nan, 1.0])) is None
+    assert scaled_exponent(np.array([np.inf])) is None
+    assert scaled_exponent(np.array([-0.0])) is None  # sign bit lost
+    assert scaled_exponent(np.array([1e300])) is None  # overflow
+    assert scaled_exponent(np.empty(0)) == 0
+    with pytest.raises(ValueError):
+        C.encode_blob(B.SCALED, B.DT_F64, np.array([np.nan]))
+    # auto-select falls back cleanly for ineligible float chunks
+    v = np.array([np.nan, -0.0, 0.1234567, 1e300] * 100)
+    blob, cid, _ = C.encode_auto(v, B.DT_F64)
+    assert cid != B.SCALED
+    out = np.asarray(C.decode_values(blob))
+    assert (out.view(np.int64) == v.view(np.int64)).all()
+
+
+def test_scaled_autoselected_on_decimal_columns():
+    rng = np.random.default_rng(4)
+    price = rng.integers(90000, 10000000, 20000) / 100.0
+    blob, cid, _ = C.encode_auto(price, B.DT_F64)
+    assert cid == B.SCALED
+    zstd = len(C.encode_blob(B.ZSTD, B.DT_F64, price))
+    assert len(blob) < zstd
+    out = np.asarray(C.decode_values(blob))
+    assert (out.view(np.int64) == price.view(np.int64)).all()
+
+
+def test_scaled_malformed_payloads():
+    v = np.arange(100) / 10.0
+    blob = C.encode_blob(B.SCALED, B.DT_F64, v)
+    with pytest.raises((ValueError, KeyError, Exception)):
+        C.decode_values(blob[:12])
+    bad = bytearray(blob)
+    bad[B.HEADER_LEN] = 99  # exponent out of range
+    with pytest.raises(ValueError, match="exponent"):
+        C.decode_values(bytes(bad))

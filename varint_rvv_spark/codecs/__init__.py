@@ -20,6 +20,7 @@ from .blob import (  # noqa: F401
     FSST,
     RAW,
     RLE,
+    SCALED,
     VARINT,
     ZSTD,
     VarlenArray,
@@ -40,6 +41,10 @@ from .varint import (  # noqa: F401
 
 _numeric.register_all()
 _composite.register_all()
+
+from . import scaled as _scaled  # noqa: E402
+
+_scaled.register_all()
 
 try:  # FSST registers itself if present (build plan §7 step 7)
     from . import fsst as _fsst

@@ -39,11 +39,12 @@ RLE = 4
 BITPACK = 5
 ZSTD = 6
 FSST = 7
+SCALED = 8
 
 CODEC_NAMES = {
     RAW: "raw", VARINT: "varint", DELTA_VARINT: "delta_varint",
     DICT: "dict", RLE: "rle", BITPACK: "bitpack", ZSTD: "zstd",
-    FSST: "fsst",
+    FSST: "fsst", SCALED: "scaled",
 }
 CODEC_IDS = {v: k for k, v in CODEC_NAMES.items()}
 

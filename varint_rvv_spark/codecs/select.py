@@ -152,6 +152,15 @@ def select_codec(values, dtype_code: int, stats: dict | None = None) -> int:
         cand[B.ZSTD] = _trial_size(B.ZSTD, sample, dtype_code, scale)
         if stats["card_ratio"] < 0.2:
             cand[B.DICT] = _trial_size(B.DICT, sample, dtype_code, scale)
+        if dtype_code == B.DT_F64 and _registered(B.SCALED):
+            from .scaled import scaled_exponent
+
+            # eligibility is checked on the FULL chunk (a few vector
+            # passes), so a chosen SCALED can never fail mid-encode;
+            # the size trial stays sample-based like the others
+            if scaled_exponent(values) is not None:
+                cand[B.SCALED] = _trial_size(B.SCALED, sample,
+                                             dtype_code, scale)
     else:
         exact = _exact_int_sizes(values, dtype_code)
         stats["_exact_int_sizes"] = exact  # reused by encode_auto
