@@ -269,3 +269,33 @@ def test_verify_chunks_mismatch_diagnostics(spark):
     assert expected != actual and idx == 99  # the tampered last value
     iddiag = json.loads(got["id"]["diag"])
     assert "decode_error" in iddiag
+
+
+def test_prune_chunks_zone_map(spark):
+    """Footer min/max pruning: fewer chunks decoded, same answer."""
+    from varint_rvv_spark.operators.decode import prune_chunks
+    from varint_rvv_spark.operators.encode import encode_chunks_scan
+    from varint_rvv_spark.queries import TABLE_SCHEMAS
+
+    lo, hi = 1704844800000000, 1705449600000000  # one week of January
+    df = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+          .orderBy("ts"))
+    chunks = encode_chunks_scan(df, rows_per_chunk=128).cache()
+    total = chunks.select("chunk_id").distinct().count()
+    pruned = prune_chunks(chunks, "ts", lo, hi)
+    kept = pruned.select("chunk_id").distinct().count()
+    assert 0 < kept < total  # pruning actually pruned
+
+    def agg(ch):
+        d = decode_table(ch, df.columns, TABLE_SCHEMAS["events"],
+                         contiguous=True)
+        d = d.filter((F.unix_micros("ts") >= lo)
+                     & (F.unix_micros("ts") < hi))
+        return d.agg(F.count("*"), F.sum("event_id"),
+                     F.round(F.sum("value"), 4)).collect()[0]
+
+    assert tuple(agg(pruned)) == tuple(agg(chunks))
+    # a column without zone maps (strings) is conservatively kept
+    unpruned = prune_chunks(chunks, "event_type", 0, 1)
+    assert unpruned.select("chunk_id").distinct().count() == total
+    chunks.unpersist()

@@ -133,6 +133,40 @@ def verify_roundtrip(chunks: DataFrame) -> tuple[int, int]:
     return int(agg["n"]), int(agg["bad"] or 0)
 
 
+def prune_chunks(chunks: DataFrame, column: str,
+                 lo=None, hi=None) -> DataFrame:
+    """Zone-map chunk pruning — the engine twin of parquet row-group
+    statistics.
+
+    Keeps only the chunks whose encode-time [vmin, vmax] for `column`
+    can overlap [lo, hi]; all columns of a surviving chunk are kept
+    (whole-chunk granularity), everything else never reaches the
+    Python decode kernel.  The stats filter is pure JVM
+    (get_json_object on the footer stats); chunks without a zone map
+    (varlen/NaN columns) are conservatively kept, as is any chunk when
+    the stats parse to NULL.  A residual row filter after decode is
+    still required.  Comparisons are double-precision: exact for
+    |value| < 2^53 (epoch-µs timestamps included), conservative use
+    only beyond that.
+
+    At 100 TB this runs on the footer/chunks *scan* — with a
+    column-partitioned sink the stats column is a few bytes per chunk,
+    so pruning cost is O(chunks), not O(data).  Cache the chunks
+    DataFrame when it is a freshly-encoded lineage (the qualifying-id
+    branch would otherwise recompute the encode).
+    """
+    vmin = F.get_json_object("stats_json", "$.vmin").cast("double")
+    vmax = F.get_json_object("stats_json", "$.vmax").cast("double")
+    overlap = F.lit(True)
+    if lo is not None:
+        overlap = overlap & (vmax.isNull() | (vmax >= F.lit(float(lo))))
+    if hi is not None:
+        overlap = overlap & (vmin.isNull() | (vmin <= F.lit(float(hi))))
+    qual = (chunks.filter(F.col("column") == column).filter(overlap)
+            .select("chunk_id").distinct())
+    return chunks.join(F.broadcast(qual), "chunk_id", "left_semi")
+
+
 def decode_table(chunks: DataFrame, columns: list[str],
                  spark_schema: str, contiguous: bool = False) -> DataFrame:
     """Reconstruct the original table from chunk blobs.

@@ -93,6 +93,14 @@ def _append_column_row(rows: dict, chunk_id: int, col: str, arr,
             cast = float if kind == "f" else int
             out_stats["head"] = [cast(x) for x in values[:10]]
             out_stats["tail"] = [cast(x) for x in values[-10:]]
+            # zone map: chunk min/max drives decode-time chunk pruning
+            # (operators/decode.prune_chunks) — the engine twin of
+            # parquet row-group statistics
+            if kind == "f" and not np.isfinite(values).all():
+                pass  # NaN poisons min/max ordering; no zone map
+            else:
+                out_stats["vmin"] = cast(values.min())
+                out_stats["vmax"] = cast(values.max())
     if (not B.is_varlen(dt) and B.NUMERIC_NP[dt].kind in "iu"
             and len(values)):
         from ..codecs.numeric import _as_u64

@@ -106,6 +106,40 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def rt_events_pruned(spark, sf_dir):
+    """Zone-map pruned round-trip: time-clustered chunks (sort → scan
+    encode), footer min/max pruning to one week, decode only the
+    surviving chunks, residual row filter, aggregate.  Equality with
+    the plain-WHERE oracle proves pruning drops no needed chunk."""
+    from .operators.decode import prune_chunks
+    from .operators.encode import encode_chunks_scan
+
+    lo_us = 1704844800000000  # 2024-01-10 00:00 UTC
+    hi_us = 1705449600000000  # 2024-01-17 00:00 UTC
+    df = _t(spark, sf_dir, "events").orderBy("ts")
+    chunks = encode_chunks_scan(df, rows_per_chunk=1024).cache()
+    pruned = prune_chunks(chunks, "ts", lo_us, hi_us)
+    d = decode_table(pruned, df.columns, TABLE_SCHEMAS["events"],
+                     contiguous=True)
+    d = d.filter((F.unix_micros("ts") >= lo_us)
+                 & (F.unix_micros("ts") < hi_us))
+    return d.agg(F.count("*").alias("n_events"),
+                 F.sum("event_id").alias("sum_ids"),
+                 F.round(F.sum("value"), 4).alias("sum_value"),
+                 F.min(F.unix_micros("ts")).alias("min_ts_us"),
+                 F.max(F.unix_micros("ts")).alias("max_ts_us"))
+
+
+RT_EVENTS_PRUNED_SQL = """
+SELECT COUNT(*) AS n_events, CAST(SUM(event_id) AS BIGINT) AS sum_ids,
+       ROUND(SUM(value), 4) AS sum_value,
+       MIN(epoch_us(ts)) AS min_ts_us, MAX(epoch_us(ts)) AS max_ts_us
+FROM events
+WHERE epoch_us(ts) >= 1704844800000000
+  AND epoch_us(ts) < 1705449600000000
+"""
+
+
 # ---------- relational shell (SURVEY.md §2.3 categories) ----------
 
 def tpch_q1(spark, sf_dir):
@@ -1166,6 +1200,7 @@ QUERIES = {
     "customer_median_balance": customer_median_balance,
     "text_quality_by_lang": text_quality_by_lang,
     "rt_events_scanmode": rt_events_scanmode,
+    "rt_events_pruned": rt_events_pruned,
     "rt_documents_forced_codecs": rt_documents_forced_codecs,
     "tpch_q5ish_region_revenue": tpch_q5ish_region_revenue,
     "orders_rollup": orders_rollup,
@@ -1203,6 +1238,7 @@ ORACLES = {
     "customer_median_balance": CUSTOMER_MEDIAN_SQL,
     "text_quality_by_lang": TEXT_QUALITY_SQL,
     "rt_events_scanmode": RT_EVENTS_SCANMODE_SQL,
+    "rt_events_pruned": RT_EVENTS_PRUNED_SQL,
     "rt_documents_forced_codecs": RT_FORCED_CODECS_SQL,
     "tpch_q5ish_region_revenue": TPCH_Q5ISH_SQL,
     "orders_rollup": ORDERS_ROLLUP_SQL,
