@@ -228,3 +228,45 @@ def test_scaled_malformed_payloads():
     bad[B.HEADER_LEN] = 99  # exponent out of range
     with pytest.raises(ValueError, match="exponent"):
         C.decode_values(bytes(bad))
+
+
+# --- SPLIT (codec 9): byte-stream split + zstd for true floats ---
+
+def test_split_roundtrip_bit_exact():
+    rng = np.random.default_rng(7)
+    cases = [
+        rng.random(5000),                                   # f64
+        np.array([np.nan, -0.0, 0.0, np.inf, -np.inf, 1.5]),
+        (np.sin(np.arange(5000) / 50) * 10).astype(np.float32),
+        rng.integers(-10**9, 10**9, 5000),                  # i64 too
+    ]
+    for v in cases:
+        dt = {np.dtype('f8'): B.DT_F64, np.dtype('f4'): B.DT_F32,
+              np.dtype('i8'): B.DT_I64}[v.dtype]
+        blob = C.encode_blob(B.SPLIT, dt, v)
+        out = np.asarray(C.decode_values(blob))
+        assert out.dtype == v.dtype
+        assert (out.view(np.uint8) == v.view(np.uint8)).all()
+
+
+def test_split_beats_plain_zstd_on_smooth_floats():
+    rng = np.random.default_rng(3)
+    v = np.cumsum(rng.normal(0, 0.01, 50000)) + 100  # not 10^k-scaled
+    from varint_rvv_spark.codecs.scaled import scaled_exponent
+    assert scaled_exponent(v) is None
+    split = len(C.encode_blob(B.SPLIT, B.DT_F64, v))
+    plain = len(C.encode_blob(B.ZSTD, B.DT_F64, v))
+    assert split < plain
+    blob, cid, _ = C.encode_auto(v, B.DT_F64)
+    assert cid == B.SPLIT  # auto-selection picks it for true floats
+    out = np.asarray(C.decode_values(blob))
+    assert (out.view(np.int64) == v.view(np.int64)).all()
+
+
+def test_split_malformed():
+    v = np.arange(100, dtype=np.float64)
+    blob = C.encode_blob(B.SPLIT, B.DT_F64, v)
+    bad = bytearray(blob)
+    bad[B.HEADER_LEN] = 4  # wrong itemsize for f64
+    with pytest.raises(ValueError, match="itemsize"):
+        C.decode_values(bytes(bad))

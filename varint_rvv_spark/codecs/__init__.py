@@ -21,6 +21,7 @@ from .blob import (  # noqa: F401
     RAW,
     RLE,
     SCALED,
+    SPLIT,
     VARINT,
     ZSTD,
     VarlenArray,

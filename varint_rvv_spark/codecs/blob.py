@@ -40,11 +40,12 @@ BITPACK = 5
 ZSTD = 6
 FSST = 7
 SCALED = 8
+SPLIT = 9
 
 CODEC_NAMES = {
     RAW: "raw", VARINT: "varint", DELTA_VARINT: "delta_varint",
     DICT: "dict", RLE: "rle", BITPACK: "bitpack", ZSTD: "zstd",
-    FSST: "fsst", SCALED: "scaled",
+    FSST: "fsst", SCALED: "scaled", SPLIT: "split",
 }
 CODEC_IDS = {v: k for k, v in CODEC_NAMES.items()}
 

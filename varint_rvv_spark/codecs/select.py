@@ -150,6 +150,7 @@ def select_codec(values, dtype_code: int, stats: dict | None = None) -> int:
     elif B.NUMERIC_NP[dtype_code].kind == "f":
         cand[B.RAW] = float(np.ascontiguousarray(values).nbytes)
         cand[B.ZSTD] = _trial_size(B.ZSTD, sample, dtype_code, scale)
+        cand[B.SPLIT] = _trial_size(B.SPLIT, sample, dtype_code, scale)
         if stats["card_ratio"] < 0.2:
             cand[B.DICT] = _trial_size(B.DICT, sample, dtype_code, scale)
         if dtype_code == B.DT_F64 and _registered(B.SCALED):
