@@ -926,6 +926,38 @@ FROM documents GROUP BY source
 """
 
 
+def rt_events_forced_float_codecs(spark, sf_dir):
+    """Round-trip forcing the float codecs through the Spark pipeline:
+    SPLIT (byte-stream split) on value, SCALED on a second pass of the
+    same column is covered by auto-selection elsewhere; here SPLIT,
+    BITPACK, and DELTA_VARINT are pinned regardless of what
+    auto-selection would choose."""
+    from .codecs import blob as CB
+    from .operators.encode import encode_chunks as enc
+
+    df = _t(spark, sf_dir, "events")
+    chunks = enc(df, key_cols=["event_id"], num_chunks=6,
+                 codec_overrides={"value": CB.SPLIT,
+                                  "user_id": CB.BITPACK,
+                                  "ts": CB.DELTA_VARINT})
+    d = decode_table(chunks, df.columns, TABLE_SCHEMAS["events"],
+                     contiguous=True)
+    return (d.groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("sum_value"),
+                 F.sum("user_id").alias("sum_users"),
+                 F.max(F.unix_micros("ts")).alias("max_ts_us")))
+
+
+RT_FORCED_FLOAT_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value,
+       CAST(SUM(user_id) AS BIGINT) AS sum_users,
+       MAX(epoch_us(ts)) AS max_ts_us
+FROM events GROUP BY event_type
+"""
+
+
 def tpch_q5ish_region_revenue(spark, sf_dir):
     """Multi-join star query with region filter (q5 shape)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1202,6 +1234,7 @@ QUERIES = {
     "rt_events_scanmode": rt_events_scanmode,
     "rt_events_pruned": rt_events_pruned,
     "rt_documents_forced_codecs": rt_documents_forced_codecs,
+    "rt_events_forced_float_codecs": rt_events_forced_float_codecs,
     "tpch_q5ish_region_revenue": tpch_q5ish_region_revenue,
     "orders_rollup": orders_rollup,
     "string_date_functions": string_date_functions,
@@ -1240,6 +1273,7 @@ ORACLES = {
     "rt_events_scanmode": RT_EVENTS_SCANMODE_SQL,
     "rt_events_pruned": RT_EVENTS_PRUNED_SQL,
     "rt_documents_forced_codecs": RT_FORCED_CODECS_SQL,
+    "rt_events_forced_float_codecs": RT_FORCED_FLOAT_SQL,
     "tpch_q5ish_region_revenue": TPCH_Q5ISH_SQL,
     "orders_rollup": ORDERS_ROLLUP_SQL,
     "string_date_functions": STRING_DATE_SQL,
