@@ -958,6 +958,91 @@ FROM events GROUP BY event_type
 """
 
 
+def tpch_q4ish_late_orders(spark, sf_dir):
+    """q4 shape: EXISTS semi-join — orders (1996) with at least one
+    line item shipped after the order date, counted by priority."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01")))
+    li = _t(spark, sf_dir, "lineitem")
+    late = o.join(li, (o["o_orderkey"] == li["l_orderkey"])
+                  & (li["l_shipdate"] > o["o_orderdate"]), "left_semi")
+    return (late.groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_orders")))
+
+
+TPCH_Q4ISH_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+def tpch_q14ish_promo_share(spark, sf_dir):
+    """q14 shape: conditional aggregation over a join — ECONOMY parts'
+    share of 1997 revenue."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01")))
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = li.join(F.broadcast(p),
+                li["l_partkey"] == p["p_partkey"])
+    return j.agg(
+        F.round(100.0 * F.sum(F.when(F.col("p_type") == "ECONOMY", rev)
+                              .otherwise(F.lit(0.0))) / F.sum(rev), 4)
+        .alias("promo_pct"),
+        F.count("*").alias("n_lines"))
+
+
+TPCH_Q14ISH_SQL = """
+SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'ECONOMY'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_pct,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+"""
+
+
+def tpch_q18ish_big_orders(spark, sf_dir):
+    """q18 shape: HAVING on a grouped sum, then join back to dims —
+    orders whose total quantity exceeds 120."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+           .filter(F.col("total_qty") > 120))
+    return (big.join(o, big["l_orderkey"] == o["o_orderkey"])
+            .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+            .select(F.col("c_name"), F.col("o_orderkey"),
+                    F.col("total_qty"),
+                    F.round(F.col("o_totalprice"), 2)
+                    .alias("o_totalprice"))
+            .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+            .limit(25))
+
+
+TPCH_Q18ISH_SQL = """
+SELECT c_name, o_orderkey, total_qty,
+       ROUND(o_totalprice, 2) AS o_totalprice
+FROM (SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING ROUND(SUM(l_quantity), 2) > 120) t
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, o_orderkey ASC LIMIT 25
+"""
+
+
 def tpch_q5ish_region_revenue(spark, sf_dir):
     """Multi-join star query with region filter (q5 shape)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1236,6 +1321,9 @@ QUERIES = {
     "rt_documents_forced_codecs": rt_documents_forced_codecs,
     "rt_events_forced_float_codecs": rt_events_forced_float_codecs,
     "tpch_q5ish_region_revenue": tpch_q5ish_region_revenue,
+    "tpch_q4ish_late_orders": tpch_q4ish_late_orders,
+    "tpch_q14ish_promo_share": tpch_q14ish_promo_share,
+    "tpch_q18ish_big_orders": tpch_q18ish_big_orders,
     "orders_rollup": orders_rollup,
     "string_date_functions": string_date_functions,
     "global_dict_roundtrip": global_dict_roundtrip,
@@ -1275,6 +1363,9 @@ ORACLES = {
     "rt_documents_forced_codecs": RT_FORCED_CODECS_SQL,
     "rt_events_forced_float_codecs": RT_FORCED_FLOAT_SQL,
     "tpch_q5ish_region_revenue": TPCH_Q5ISH_SQL,
+    "tpch_q4ish_late_orders": TPCH_Q4ISH_SQL,
+    "tpch_q14ish_promo_share": TPCH_Q14ISH_SQL,
+    "tpch_q18ish_big_orders": TPCH_Q18ISH_SQL,
     "orders_rollup": ORDERS_ROLLUP_SQL,
     "string_date_functions": STRING_DATE_SQL,
     "global_dict_roundtrip": GLOBAL_DICT_SQL,
