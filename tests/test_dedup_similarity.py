@@ -163,3 +163,26 @@ def test_ivf_index_partition_pruning(spark, planted, tmp_path):
     want = {(r.probe_id, r.vec_id, r.cosine) for r in
             ivf_topk(planted, probes, cents, k=3, nprobe=2).collect()}
     assert got == want
+
+
+def test_minhash_signatures_array_form_matches_groupby(spark):
+    """Map-side array signatures == exploded groupBy signatures, and
+    the array form has zero Exchange in its plan."""
+    from varint_rvv_spark.operators.dedup import (
+        minhash_signatures,
+        minhash_signatures_from_array,
+        word_shingle_array,
+        word_shingles,
+    )
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .filter(F.col("doc_id") < 80))  # limit() would inject its
+    # own SinglePartition Exchange and mask the plan assertion
+    arr = word_shingle_array(docs, "doc_id", "text", 3)
+    a = minhash_signatures_from_array(arr, "doc_id", 16)
+    b = minhash_signatures(word_shingles(docs, "doc_id", "text", 3),
+                           "doc_id", 16)
+    assert "Exchange" not in plan_of(a)
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb

@@ -31,6 +31,26 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.join(wins, [id_col], "left_semi")
 
 
+def word_shingle_array(df: DataFrame, id_col: str, text_col: str,
+                       k: int = 3,
+                       out_col: str = "shingles") -> DataFrame:
+    """Distinct word k-shingles per document as ONE array column —
+    the zero-explode form word_shingles and the map-side MinHash
+    signatures build on."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    gram = toks
+    for i in range(1, k):
+        # zip_with pads the shorter side with null; trailing partial
+        # grams become null and are cut by the final slice
+        gram = F.zip_with(gram, F.slice(toks, i + 1, n - i),
+                          lambda x, y: F.concat(x, F.lit(" "), y))
+    grams = F.slice(gram, 1, n - (k - 1))
+    arr = F.when(n >= k, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>"))
+    return df.select(F.col(id_col), arr.alias(out_col))
+
+
 def word_shingles(df: DataFrame, id_col: str, text_col: str,
                   k: int = 3) -> DataFrame:
     """Distinct word k-shingles per document — fully map-side.
@@ -45,26 +65,43 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str,
     old posexplode+Window plan that shuffled and sorted every token of
     every document.
     """
-    toks = tokens(text_col)
-    n = F.size(toks)
-    gram = toks
-    for i in range(1, k):
-        # zip_with pads the shorter side with null; trailing partial
-        # grams become null and are cut by the final slice
-        gram = F.zip_with(gram, F.slice(toks, i + 1, n - i),
-                          lambda x, y: F.concat(x, F.lit(" "), y))
-    grams = F.slice(gram, 1, n - (k - 1))
-    arr = F.when(n >= k, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>"))
-    return df.select(F.col(id_col), F.explode(arr).alias("shingle"))
+    arr = word_shingle_array(df, id_col, text_col, k)
+    return arr.select(F.col(id_col),
+                      F.explode("shingles").alias("shingle"))
 
 
 def minhash_signatures(shingles: DataFrame, id_col: str,
                        n_hashes: int = 16) -> DataFrame:
-    """n_hashes min-hashes per doc: min(md5(shingle || ':' || i))."""
+    """n_hashes min-hashes per doc from *exploded* shingle rows
+    (groupBy form — kept as the oracle-shaped reference; the pipeline
+    uses the shuffle-free array form below)."""
     sigs = [F.min(F.md5(F.concat(F.col("shingle"), F.lit(f":{i}"))))
             .alias(f"mh{i}") for i in range(n_hashes)]
     return shingles.groupBy(id_col).agg(*sigs)
+
+
+def minhash_signatures_from_array(arr: DataFrame, id_col: str,
+                                  n_hashes: int = 16,
+                                  arr_col: str = "shingles") -> DataFrame:
+    """Map-side MinHash signatures: min over the shingle *array* —
+    array_min(transform(...)) per hash, ZERO shuffle.  At 100 TB the
+    whole signature stage is scan-side compute; the first (and only)
+    shuffle of the dedup pipeline is the band-bucket join.
+
+    Docs with no shingles (< k tokens) are dropped, matching the
+    exploded+groupBy form (they form no rows there).
+    """
+    # NOTE: the salt must be bound via a closure factory, NOT a
+    # `lambda s, i=i` default arg — pyspark dispatches on lambda arity,
+    # so a 2-parameter lambda becomes an (element, index) lambda and
+    # the index Column silently shadows the salt
+    def mh(i):
+        return lambda s: F.md5(F.concat(s, F.lit(f":{i}")))
+
+    sigs = [F.array_min(F.transform(F.col(arr_col), mh(i)))
+            .alias(f"mh{i}") for i in range(n_hashes)]
+    return (arr.filter(F.size(arr_col) > 0)
+            .select(F.col(id_col), *sigs))
 
 
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str,
@@ -93,8 +130,10 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str,
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       k: int = 3, n_hashes: int = 16,
                       bands: int = 4) -> DataFrame:
-    sh = word_shingles(df, id_col, text_col, k)
-    sig = minhash_signatures(sh, id_col, n_hashes)
+    """Shingle → signature is pure map-side (array form); the band
+    self-join is the pipeline's only shuffle."""
+    arr = word_shingle_array(df, id_col, text_col, k)
+    sig = minhash_signatures_from_array(arr, id_col, n_hashes)
     return lsh_candidate_pairs(sig, id_col, n_hashes, bands)
 
 
@@ -207,11 +246,13 @@ def minhash_dedup_components(df: DataFrame, id_col: str, text_col: str,
     → connected components.  Returns (id, comp) for every member of a
     verified duplicate group (comp = group min id = the survivor).
 
-    The shingle table is built once and shared by the signature and
-    verify stages (one corpus scan, not two)."""
-    sh = word_shingles(df, id_col, text_col, k)
-    sig = minhash_signatures(sh, id_col, n_hashes)
+    The shingle array is built once and shared by the signature
+    (map-side array form) and verify (exploded form) stages — one
+    corpus scan, and no shuffle before the band join."""
+    arr = word_shingle_array(df, id_col, text_col, k)
+    sig = minhash_signatures_from_array(arr, id_col, n_hashes)
     cand = lsh_candidate_pairs(sig, id_col, n_hashes, bands)
+    sh = arr.select(F.col(id_col), F.explode("shingles").alias("shingle"))
     edges = jaccard_verify_pairs(df, cand, id_col, text_col, k,
                                  threshold, shingles=sh)
     return connected_components(edges)
