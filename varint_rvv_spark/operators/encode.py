@@ -101,6 +101,14 @@ def _append_column_row(rows: dict, chunk_id: int, col: str, arr,
             else:
                 out_stats["vmin"] = cast(values.min())
                 out_stats["vmax"] = cast(values.max())
+                # exact chunk sum → COUNT/SUM answered from the footer
+                # alone (aggregate pushdown to statistics); only when
+                # n·max|v| provably fits int64, so it is always exact
+                if kind in "iu" and len(values) * max(
+                        abs(out_stats["vmin"]),
+                        abs(out_stats["vmax"]), 1) < (1 << 62):
+                    out_stats["vsum"] = int(
+                        values.sum(dtype=np.int64))
     if (not B.is_varlen(dt) and B.NUMERIC_NP[dt].kind in "iu"
             and len(values)):
         from ..codecs.numeric import _as_u64

@@ -140,6 +140,33 @@ WHERE epoch_us(ts) >= 1704844800000000
 """
 
 
+def footer_agg_events(spark, sf_dir):
+    """Aggregate pushdown to chunk statistics: COUNT(*)/SUM answered
+    from the footer ledger alone — zero payload decode (the engine
+    twin of metadata-only queries over Iceberg/parquet statistics; on
+    a persisted table this touches only the footer files)."""
+    from .operators.encode import footer_of
+
+    df = _t(spark, sf_dir, "events")
+    f = footer_of(encode_chunks(df, key_cols=["event_id"],
+                                num_chunks=8)).cache()
+    vsum = F.get_json_object("stats_json", "$.vsum").cast("long")
+    a = (f.filter(F.col("column") == "event_id")
+         .agg(F.sum("n_values").alias("n_events"),
+              F.sum(vsum).alias("sum_event_ids")))
+    b = (f.filter(F.col("column") == "user_id")
+         .agg(F.sum(vsum).alias("sum_user_ids")))
+    return a.crossJoin(b)
+
+
+FOOTER_AGG_SQL = """
+SELECT COUNT(*) AS n_events,
+       CAST(SUM(event_id) AS BIGINT) AS sum_event_ids,
+       CAST(SUM(user_id) AS BIGINT) AS sum_user_ids
+FROM events
+"""
+
+
 # ---------- relational shell (SURVEY.md §2.3 categories) ----------
 
 def tpch_q1(spark, sf_dir):
@@ -1318,6 +1345,7 @@ QUERIES = {
     "text_quality_by_lang": text_quality_by_lang,
     "rt_events_scanmode": rt_events_scanmode,
     "rt_events_pruned": rt_events_pruned,
+    "footer_agg_events": footer_agg_events,
     "rt_documents_forced_codecs": rt_documents_forced_codecs,
     "rt_events_forced_float_codecs": rt_events_forced_float_codecs,
     "tpch_q5ish_region_revenue": tpch_q5ish_region_revenue,
@@ -1360,6 +1388,7 @@ ORACLES = {
     "text_quality_by_lang": TEXT_QUALITY_SQL,
     "rt_events_scanmode": RT_EVENTS_SCANMODE_SQL,
     "rt_events_pruned": RT_EVENTS_PRUNED_SQL,
+    "footer_agg_events": FOOTER_AGG_SQL,
     "rt_documents_forced_codecs": RT_FORCED_CODECS_SQL,
     "rt_events_forced_float_codecs": RT_FORCED_FLOAT_SQL,
     "tpch_q5ish_region_revenue": TPCH_Q5ISH_SQL,
