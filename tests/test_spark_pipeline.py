@@ -299,3 +299,25 @@ def test_prune_chunks_zone_map(spark):
     unpruned = prune_chunks(chunks, "event_type", 0, 1)
     assert unpruned.select("chunk_id").distinct().count() == total
     chunks.unpersist()
+
+
+def test_range_clustered_chunks_have_disjoint_zone_maps(spark):
+    """encode_chunks_range: clustering-column zone maps are pairwise
+    disjoint across chunks, so range pruning is maximally selective."""
+    import json
+
+    from varint_rvv_spark.operators.encode import (
+        encode_chunks_range,
+        footer_of,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    f = footer_of(encode_chunks_range(df, ["ts"], num_partitions=4,
+                                      rows_per_chunk=64))
+    rows = (f.filter(F.col("column") == "ts")
+            .select("chunk_id", "stats_json").collect())
+    spans = sorted((json.loads(r.stats_json)["vmin"],
+                    json.loads(r.stats_json)["vmax"]) for r in rows)
+    assert len(spans) >= 4  # one chunk per range partition minimum
+    for (lo1, hi1), (lo2, _) in zip(spans, spans[1:]):
+        assert lo1 <= hi1 < lo2  # strictly disjoint, ordered

@@ -225,6 +225,33 @@ def encode_chunks(df: DataFrame, key_cols: list[str] | None = None,
         CHUNK_SPARK_SCHEMA)
 
 
+def encode_chunks_range(df: DataFrame, range_cols: list[str],
+                        num_partitions: int | None = None,
+                        rows_per_chunk: int = 65536,
+                        codec_overrides: dict | None = None,
+                        columns: list[str] | None = None) -> DataFrame:
+    """Range-clustered encode: the time-series/ordered-scan mode.
+
+    repartitionByRange(range_cols) + sortWithinPartitions gives chunks
+    *disjoint* value ranges on the clustering columns — which is what
+    makes the footer zone maps (vmin/vmax → decode.prune_chunks)
+    actually selective, and what delta codecs love (sorted ts → 1-byte
+    deltas).  Costs one range shuffle; chunk ids are positional (scan
+    kernel), so resume follows scan-mode rules (layout fingerprint).
+
+    Hash mode (encode_chunks) optimizes for co-clustering equal keys;
+    this mode optimizes for range pruning.  Pick per table.
+    """
+    cols = columns or df.columns
+    n = num_partitions or max(df.rdd.getNumPartitions(), 1)
+    clustered = (df.select(*cols)
+                 .repartitionByRange(n, *[F.col(c) for c in range_cols])
+                 .sortWithinPartitions(*range_cols))
+    return clustered.mapInArrow(
+        _scan_kernel(cols, rows_per_chunk, None, codec_overrides, -1),
+        CHUNK_SPARK_SCHEMA)
+
+
 def footer_of(chunks: DataFrame) -> DataFrame:
     """Footer = chunk ledger without payloads (the resume/metrics table)."""
     return chunks.drop("payload", "validity")

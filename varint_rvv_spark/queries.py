@@ -112,12 +112,13 @@ def rt_events_pruned(spark, sf_dir):
     surviving chunks, residual row filter, aggregate.  Equality with
     the plain-WHERE oracle proves pruning drops no needed chunk."""
     from .operators.decode import prune_chunks
-    from .operators.encode import encode_chunks_scan
+    from .operators.encode import encode_chunks_range
 
     lo_us = 1704844800000000  # 2024-01-10 00:00 UTC
     hi_us = 1705449600000000  # 2024-01-17 00:00 UTC
-    df = _t(spark, sf_dir, "events").orderBy("ts")
-    chunks = encode_chunks_scan(df, rows_per_chunk=1024).cache()
+    df = _t(spark, sf_dir, "events")
+    chunks = encode_chunks_range(df, ["ts"], num_partitions=8,
+                                 rows_per_chunk=1024).cache()
     pruned = prune_chunks(chunks, "ts", lo_us, hi_us)
     d = decode_table(pruned, df.columns, TABLE_SCHEMAS["events"],
                      contiguous=True)
