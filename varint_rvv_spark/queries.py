@@ -1297,6 +1297,68 @@ FROM q GROUP BY lang
 """
 
 
+def pipeline_clean_corpus(spark, sf_dir):
+    """End-to-end corpus cleaning — the composed training-data
+    pipeline: quality gate → exact dedup on the normalized fingerprint
+    (keep min doc_id) → deterministic 50% hash-sample → per-lang
+    survivor stats.  Every stage is a first-class operator; the oracle
+    replays the identical pipeline in SQL."""
+    from .functions import md5_bucket
+    from .operators.text import fingerprint, quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    gated = quality_score(d).filter(F.col("quality") >= 0.5)
+    fp = fingerprint(gated)
+    wins = (fp.groupBy("fingerprint")
+            .agg(F.min("doc_id").alias("doc_id")))
+    survivors = fp.join(wins, ["fingerprint", "doc_id"], "left_semi")
+    sampled = survivors.filter(md5_bucket("doc_id", 100) < 50)
+    return (sampled.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("doc_id").alias("sum_ids"),
+                 F.round(F.avg("quality"), 4).alias("avg_quality")))
+
+
+PIPELINE_CLEAN_SQL = r"""
+WITH f AS (
+  SELECT doc_id, lang, text,
+         LENGTH(text) AS n_chars,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE len(string_split_regex(TRIM(text), '\s+')) END
+           AS n_tokens,
+         LENGTH(regexp_replace(text, '[^A-Za-zÀ-ÿа-яА-Я]', '', 'g'))
+           AS n_alpha
+  FROM documents),
+q AS (
+  SELECT doc_id, lang, text,
+         ROUND(0.4 * LEAST(n_tokens / 100.0, 1.0)
+               + 0.4 * ROUND(CAST(n_alpha AS DOUBLE)
+                             / GREATEST(n_chars, 1), 4)
+               + 0.2 * (CASE WHEN ROUND(CAST(n_chars AS DOUBLE)
+                                        / GREATEST(n_tokens, 1), 4)
+                                  BETWEEN 3 AND 12
+                             THEN 1.0 ELSE 0.5 END), 4) AS quality
+  FROM f),
+gated AS (SELECT * FROM q WHERE quality >= 0.5),
+fp AS (
+  SELECT *, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+            AS fingerprint
+  FROM gated),
+survivors AS (
+  SELECT fp.* FROM fp
+  JOIN (SELECT fingerprint, MIN(doc_id) AS doc_id FROM fp
+        GROUP BY fingerprint) w USING (fingerprint, doc_id)),
+sampled AS (
+  SELECT * FROM survivors
+  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+             AS BIGINT) % 100 < 50)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+       ROUND(AVG(quality), 4) AS avg_quality
+FROM sampled GROUP BY lang
+"""
+
+
 # ---------- engine-introspection (rows-only checks, no SQL oracle) ----------
 
 def codec_footer_documents(spark, sf_dir):
@@ -1333,6 +1395,7 @@ QUERIES = {
     "embedding_neardup": embedding_neardup,
     "embedding_neardup_survivors": embedding_neardup_survivors,
     "sample_documents_deterministic": sample_documents_deterministic,
+    "pipeline_clean_corpus": pipeline_clean_corpus,
     "text_lang_id": text_lang_id,
     "text_token_counts": text_token_counts,
     "text_fingerprint_dupes": text_fingerprint_dupes,
@@ -1379,6 +1442,7 @@ ORACLES = {
     "embedding_neardup": _embedding_neardup_sql(),
     "embedding_neardup_survivors": _embedding_survivors_sql(),
     "sample_documents_deterministic": SAMPLE_DOCS_SQL,
+    "pipeline_clean_corpus": PIPELINE_CLEAN_SQL,
     "text_lang_id": _lang_id_sql(),
     "text_token_counts": TEXT_TOKEN_COUNTS_SQL,
     "text_fingerprint_dupes": TEXT_FINGERPRINT_SQL,
