@@ -130,10 +130,16 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str,
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       k: int = 3, n_hashes: int = 16,
                       bands: int = 4) -> DataFrame:
-    """Shingle → signature is pure map-side (array form); the band
-    self-join is the pipeline's only shuffle."""
+    """Shingle → signature is pure map-side (array form); one tiny
+    repartition of the signature rows (id + n_hashes hex strings)
+    materializes them so the band self-join reads a ReusedExchange —
+    without it Catalyst's project collapse inlines the whole shingle
+    pipeline into every band of both join sides (measured 2×+ slower).
+    Net shuffle volume is far below the exploded-shingle groupBy form.
+    """
     arr = word_shingle_array(df, id_col, text_col, k)
-    sig = minhash_signatures_from_array(arr, id_col, n_hashes)
+    sig = minhash_signatures_from_array(arr, id_col, n_hashes) \
+        .repartition(id_col)
     return lsh_candidate_pairs(sig, id_col, n_hashes, bands)
 
 
@@ -250,7 +256,8 @@ def minhash_dedup_components(df: DataFrame, id_col: str, text_col: str,
     (map-side array form) and verify (exploded form) stages — one
     corpus scan, and no shuffle before the band join."""
     arr = word_shingle_array(df, id_col, text_col, k)
-    sig = minhash_signatures_from_array(arr, id_col, n_hashes)
+    sig = minhash_signatures_from_array(arr, id_col, n_hashes) \
+        .repartition(id_col)
     cand = lsh_candidate_pairs(sig, id_col, n_hashes, bands)
     sh = arr.select(F.col(id_col), F.explode("shingles").alias("shingle"))
     edges = jaccard_verify_pairs(df, cand, id_col, text_col, k,
