@@ -117,15 +117,23 @@ def test_resume_footer_survives_missing_footer_table(spark, pages,
     from varint_rvv_spark.sources.tables import rebuild_footer, resume_footer
 
     root = str(tmp_path / "enc")
-    chunks = encode_chunks_scan(pages, rows_per_chunk=256)
+    src = str(tmp_path / "src2.parquet")
+    pages.write.mode("overwrite").parquet(src)  # file-backed: the
+    # layout fingerprint refuses footer resume of in-memory inputs
+    df = spark.read.parquet(src)
+    chunks = encode_chunks_scan(df, rows_per_chunk=256)
     # simulate the crash: persist chunks only, no footer table
     chunks.write.mode("overwrite").partitionBy("column") \
         .parquet(f"{root}/chunks")
     ledger = resume_footer(spark, root)
     assert ledger is not None and "payload" not in ledger.columns
-    rest = encode_chunks_scan(pages, rows_per_chunk=256,
-                              done_footer=ledger)
+    rest = encode_chunks_scan(spark.read.parquet(src),
+                              rows_per_chunk=256, done_footer=ledger)
     assert rest.count() == 0
+    # non-file-backed input → footer resume refused, not vacuous
+    with pytest.raises(ValueError, match="not file-backed"):
+        encode_chunks_scan(pages, rows_per_chunk=256,
+                           done_footer=ledger).count()
     # the repair path rebuilds the footer table from chunks
     rebuild_footer(spark, root)
     assert read_footer(spark, root).count() == ledger.count()

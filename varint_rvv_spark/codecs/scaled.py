@@ -37,6 +37,13 @@ def scaled_exponent(values: np.ndarray) -> int | None:
         return 0
     if not np.isfinite(v).all():
         return None
+    if v.size > 512:
+        # prefix fast-path: a true-float chunk (the common ineligible
+        # case) is rejected after ~5 small passes instead of 5
+        # full-chunk ones; eligible prefixes fall through to the full
+        # verification below
+        if scaled_exponent(v[:256]) is None:
+            return None
     bits = v.view(np.int64)
     for k, p in enumerate(POWERS):
         s = np.rint(v * p)

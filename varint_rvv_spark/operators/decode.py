@@ -36,6 +36,8 @@ def _mismatch_samples(values, dt, stats: dict, n_expected: int) -> list:
     samples = []
     for base, exp in regions:
         for j, e in enumerate(exp):
+            if e is None:  # non-finite witness was persisted as null
+                continue
             i = base + j
             g = got_vals[i] if i < n else None
             if g != e and len(samples) < 10:

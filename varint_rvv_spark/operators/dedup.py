@@ -226,6 +226,7 @@ def connected_components(edges: DataFrame,
                                F.col("id_a").alias("dst")))).cache()
     labels = (sym.select(F.col("src").alias("id")).distinct()
               .withColumn("comp", F.col("id")).localCheckpoint())
+    converged = False
     for _ in range(max_iter):
         neigh = (sym.join(labels, sym["dst"] == labels["id"])
                  .groupBy("src").agg(F.min("comp").alias("ncomp")))
@@ -240,7 +241,15 @@ def connected_components(edges: DataFrame,
                    .filter(F.col("n.comp") != F.col("o.comp")).count())
         labels = new
         if changed == 0:
+            converged = True
             break
+    sym.unpersist()
+    if not converged:
+        # returning unconverged labels would silently keep verified
+        # duplicates (distant chain members carry different comps)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"rounds (graph diameter exceeds it); raise max_iter")
     return labels
 
 

@@ -90,7 +90,14 @@ def _append_column_row(rows: dict, chunk_id: int, col: str, arr,
             out_stats["tail"] = [int(x) for x in lens[-10:]]
         else:
             kind = B.NUMERIC_NP[dt].kind
-            cast = float if kind == "f" else int
+            if kind == "f":
+                # NaN/inf are not valid JSON — persist as null (the
+                # diagnostic comparator skips null witnesses)
+                def cast(x):
+                    x = float(x)
+                    return x if np.isfinite(x) else None
+            else:
+                cast = int
             out_stats["head"] = [cast(x) for x in values[:10]]
             out_stats["tail"] = [cast(x) for x in values[-10:]]
             # zone map: chunk min/max drives decode-time chunk pruning
@@ -236,8 +243,11 @@ def encode_chunks_range(df: DataFrame, range_cols: list[str],
     *disjoint* value ranges on the clustering columns — which is what
     makes the footer zone maps (vmin/vmax → decode.prune_chunks)
     actually selective, and what delta codecs love (sorted ts → 1-byte
-    deltas).  Costs one range shuffle; chunk ids are positional (scan
-    kernel), so resume follows scan-mode rules (layout fingerprint).
+    deltas).  Costs one range shuffle.  Chunk ids are positional AND
+    depend on repartitionByRange's sampled boundaries, so range-mode
+    encodes are NOT resumable (footer rows carry num_chunks=-1, which
+    both resume guards reject) — re-encode from scratch on failure, or
+    use hash/scan mode when resumability matters.
 
     Hash mode (encode_chunks) optimizes for co-clustering equal keys;
     this mode optimizes for range pruning.  Pick per table.
@@ -305,7 +315,8 @@ def _scan_kernel(columns: list[str], rows_per_chunk: int,
     return fn
 
 
-def scan_layout_fingerprint(df: DataFrame, rows_per_chunk: int) -> int:
+def scan_layout_fingerprint(df: DataFrame,
+                            rows_per_chunk: int) -> int | None:
     """Deterministic 60-bit fingerprint of the scan-mode chunk-id space.
 
     Scan-mode chunk_id = (scan partition, ordinal) is purely
@@ -314,12 +325,19 @@ def scan_layout_fingerprint(df: DataFrame, rows_per_chunk: int) -> int:
     all unchanged.  This fingerprint captures exactly those inputs so a
     resume against a changed layout is refused instead of silently
     skipping the wrong rows.
+
+    Returns None for non-file-backed inputs (createDataFrame/range):
+    there is nothing to fingerprint, so footer-based resume is refused
+    for them rather than vacuously accepted.
     """
     import hashlib
     import os
 
+    files = sorted(df.inputFiles())
+    if not files:
+        return None
     parts = []
-    for f in sorted(df.inputFiles()):
+    for f in files:
         p = f.removeprefix("file:")
         try:
             sz = os.path.getsize(p)
@@ -358,11 +376,18 @@ def encode_chunks_scan(df: DataFrame, columns: list[str] | None = None,
     """
     columns = columns or df.columns
     projected = df.select(*columns)
-    fp_slot = -2 - scan_layout_fingerprint(projected, rows_per_chunk)
+    fp = scan_layout_fingerprint(projected, rows_per_chunk)
+    fp_slot = -2 - fp if fp is not None else -1
     if done_footer is not None:
         if done_chunk_ids is not None:
             raise ValueError("pass done_footer or done_chunk_ids, "
                              "not both")
+        if fp is None:
+            raise ValueError(
+                "scan-mode resume refused: the input is not file-backed"
+                " (inputFiles() is empty), so the positional chunk-id "
+                "space cannot be fingerprinted; pass done_chunk_ids "
+                "explicitly if you can guarantee an identical layout")
         prior = [r[0] for r in
                  done_footer.select("num_chunks").distinct().collect()]
         if prior != [fp_slot]:

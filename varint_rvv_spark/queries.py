@@ -152,11 +152,19 @@ def footer_agg_events(spark, sf_dir):
     f = footer_of(encode_chunks(df, key_cols=["event_id"],
                                 num_chunks=8)).cache()
     vsum = F.get_json_object("stats_json", "$.vsum").cast("long")
+
+    def guarded_sum(alias):
+        # vsum is only recorded when provably exact; a chunk without it
+        # must yield NULL (pushdown unavailable), never a silent
+        # partial sum — F.sum alone would skip the NULL and lie
+        return F.when(F.count(F.lit(1)) == F.count(vsum),
+                      F.sum(vsum)).alias(alias)
+
     a = (f.filter(F.col("column") == "event_id")
          .agg(F.sum("n_values").alias("n_events"),
-              F.sum(vsum).alias("sum_event_ids")))
+              guarded_sum("sum_event_ids")))
     b = (f.filter(F.col("column") == "user_id")
-         .agg(F.sum(vsum).alias("sum_user_ids")))
+         .agg(guarded_sum("sum_user_ids")))
     return a.crossJoin(b)
 
 

@@ -91,17 +91,23 @@ def streaming_simhash_neardup(stream: DataFrame, id_col: str,
         (bucket,) = key
         kept = list(state.get[0]) if state.exists else []
         novel_ids, novel_fps = [], []
-        for pdf in pdf_iter:
-            # deterministic order: arrival order varies by partitioning
-            for _, row in pdf.sort_values(id_col).iterrows():
-                h = int(row["simhash"])
-                if any(bin(h ^ int(k)).count("1") <= hamming_max
-                       for k in kept):
-                    continue
-                if len(kept) < max_keep:
-                    kept.append(h)
-                novel_ids.append(int(row[id_col]))
-                novel_fps.append(h)
+        # buffer the whole group before sorting: pdf_iter delivers a
+        # group as MULTIPLE chunks, so per-chunk sorting would make the
+        # survivor depend on chunk boundaries (nondeterministic)
+        parts = list(pdf_iter)
+        if not parts:
+            state.update((kept,))
+            return
+        whole = pd.concat(parts, ignore_index=True)
+        for _, row in whole.sort_values(id_col).iterrows():
+            h = int(row["simhash"])
+            if any(bin(h ^ int(k)).count("1") <= hamming_max
+                   for k in kept):
+                continue
+            if len(kept) < max_keep:
+                kept.append(h)
+            novel_ids.append(int(row[id_col]))
+            novel_fps.append(h)
         state.update((kept,))
         if novel_ids:
             yield pd.DataFrame({
