@@ -321,3 +321,26 @@ def test_range_clustered_chunks_have_disjoint_zone_maps(spark):
     assert len(spans) >= 4  # one chunk per range partition minimum
     for (lo1, hi1), (lo2, _) in zip(spans, spans[1:]):
         assert lo1 <= hi1 < lo2  # strictly disjoint, ordered
+
+
+def test_footer_vsum_guard_returns_null_on_gaps(spark):
+    """Aggregate pushdown must surface NULL, not a partial sum, when
+    any chunk lacks the exact vsum stat."""
+    import json as _json
+
+    rows = [
+        (0, "v", 10, _json.dumps({"vsum": 100})),
+        (1, "v", 10, _json.dumps({})),  # no vsum → pushdown unavailable
+    ]
+    f = spark.createDataFrame(
+        rows, "chunk_id long, column string, n_values long, "
+              "stats_json string")
+    vsum = F.get_json_object("stats_json", "$.vsum").cast("long")
+    out = f.agg(F.when(F.count(F.lit(1)) == F.count(vsum),
+                       F.sum(vsum)).alias("s"),
+                F.sum("n_values").alias("n")).collect()[0]
+    assert out.s is None and out.n == 20
+    ok = f.filter(F.col("chunk_id") == 0).agg(
+        F.when(F.count(F.lit(1)) == F.count(vsum),
+               F.sum(vsum)).alias("s")).collect()[0]
+    assert ok.s == 100
