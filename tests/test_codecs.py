@@ -270,3 +270,108 @@ def test_split_malformed():
     bad[B.HEADER_LEN] = 4  # wrong itemsize for f64
     with pytest.raises(ValueError, match="itemsize"):
         C.decode_values(bytes(bad))
+
+
+# --- LIST codec (array<numeric> columns) + new scalar logical types ---
+
+def _mk_list(lists, child_dtype=B.DT_F32):
+    lens = np.array([len(x) for x in lists], dtype=np.int64)
+    offsets = np.zeros(len(lists) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    child = np.concatenate([np.asarray(x) for x in lists if len(x)]) \
+        if lens.sum() else np.empty(0)
+    return B.ListValues(
+        offsets=offsets,
+        child=np.ascontiguousarray(child, dtype=B.NUMERIC_NP[child_dtype]),
+        child_dtype=child_dtype)
+
+
+@pytest.mark.parametrize("child_dt", [B.DT_F32, B.DT_F64, B.DT_I64])
+def test_list_roundtrip(child_dt):
+    r = rng()
+    lists = [r.standard_normal(r.integers(0, 9)) for _ in range(200)]
+    if B.NUMERIC_NP[child_dt].kind == "i":
+        lists = [(x * 1000).astype(np.int64) for x in lists]
+    lv = _mk_list(lists, child_dt)
+    blob = B.encode_blob(B.LIST, B.DT_LIST, lv)
+    back = B.decode_values(blob)
+    np.testing.assert_array_equal(lv.offsets, back.offsets)
+    np.testing.assert_array_equal(lv.child, back.child)
+    assert back.child_dtype == child_dt
+
+
+def test_list_empty_arrays_and_empty_chunk():
+    lv = _mk_list([[], [], []])
+    back = B.decode_values(B.encode_blob(B.LIST, B.DT_LIST, lv))
+    assert len(back) == 3 and back.child.size == 0
+    lv0 = _mk_list([])
+    back0 = B.decode_values(B.encode_blob(B.LIST, B.DT_LIST, lv0))
+    assert len(back0) == 0
+
+
+def test_list_auto_selection_routes_to_list_codec():
+    lv = _mk_list([np.arange(64, dtype=np.float64)] * 50, B.DT_F64)
+    blob, codec_id, stats = C.encode_auto(lv, B.DT_LIST)
+    assert codec_id == B.LIST
+    assert stats["avg_len"] == 64.0
+    # fixed-dim lengths are pure runs → the lengths stream is tiny
+    assert len(blob) < lv.nbytes
+
+
+def test_list_child_bit_identity_nan_negzero():
+    lists = [np.array([np.nan, -0.0, np.inf], dtype=np.float32),
+             np.array([1.5], dtype=np.float32)]
+    lv = _mk_list(lists, B.DT_F32)
+    back = B.decode_values(B.encode_blob(B.LIST, B.DT_LIST, lv))
+    np.testing.assert_array_equal(
+        lv.child.view(np.uint32), back.child.view(np.uint32))
+
+
+def test_u8_bool_roundtrip_all_int_codecs():
+    v = (rng().integers(0, 2, 3000)).astype(np.uint8)
+    for codec in (B.RAW, B.VARINT, B.DELTA_VARINT, B.BITPACK, B.RLE,
+                  B.DICT, B.ZSTD):
+        back = B.decode_values(B.encode_blob(codec, B.DT_U8, v))
+        np.testing.assert_array_equal(v, np.asarray(back, dtype=np.uint8))
+    blob, codec_id, _ = C.encode_auto(v, B.DT_U8)
+    assert len(blob) <= v.nbytes + B.HEADER_LEN
+
+
+def test_arrow_bridge_date_bool_decimal_and_list_nulls():
+    import decimal as D
+
+    import pyarrow as pa
+
+    from varint_rvv_spark.operators.arrow_bridge import (
+        arrow_to_values,
+        values_sha256,
+        values_to_arrow,
+    )
+
+    cases = [
+        pa.array([18000, None, 18010], type=pa.date32()),
+        pa.array([True, None, False, True]),
+        pa.array([D.Decimal("99.99"), None, D.Decimal("-0.01")],
+                 type=pa.decimal128(18, 2)),
+        pa.array([[1.0, 2.0], None, []], type=pa.list_(pa.float32())),
+        pa.array([[1, 2], [3, 4], None], type=pa.list_(pa.int64(), 2)),
+    ]
+    for arr in cases:
+        v, dt, logical, validity = arrow_to_values(arr)
+        blob, _, _ = C.encode_auto(v, dt)
+        back_vals = B.decode_values(blob)
+        assert values_sha256(back_vals, dt) == values_sha256(v, dt)
+        back = values_to_arrow(back_vals, dt, logical, validity)
+        assert back.to_pylist() == arr.to_pylist()
+
+
+def test_arrow_bridge_rejects_wide_decimal_and_null_elements():
+    import pyarrow as pa
+
+    from varint_rvv_spark.operators.arrow_bridge import arrow_to_values
+
+    with pytest.raises(TypeError, match="precision"):
+        arrow_to_values(pa.array([None], type=pa.decimal128(38, 2)))
+    with pytest.raises(TypeError, match="null list elements"):
+        arrow_to_values(pa.array([[1.0, None]],
+                                 type=pa.list_(pa.float32())))

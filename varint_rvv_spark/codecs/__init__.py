@@ -14,20 +14,25 @@ from .blob import (  # noqa: F401
     DT_F64,
     DT_I32,
     DT_I64,
+    DT_LIST,
     DT_STR,
+    DT_U8,
     DT_U32,
     DT_U64,
     FSST,
+    LIST,
     RAW,
     RLE,
     SCALED,
     SPLIT,
     VARINT,
     ZSTD,
+    ListValues,
     VarlenArray,
     decode_blob,
     decode_values,
     encode_blob,
+    is_list,
     is_varlen,
 )
 from .select import encode_auto, select_codec  # noqa: F401
@@ -42,6 +47,10 @@ from .varint import (  # noqa: F401
 
 _numeric.register_all()
 _composite.register_all()
+
+from . import lists as _lists  # noqa: E402
+
+_lists.register_all()
 
 from . import scaled as _scaled  # noqa: E402
 

@@ -41,11 +41,12 @@ ZSTD = 6
 FSST = 7
 SCALED = 8
 SPLIT = 9
+LIST = 10
 
 CODEC_NAMES = {
     RAW: "raw", VARINT: "varint", DELTA_VARINT: "delta_varint",
     DICT: "dict", RLE: "rle", BITPACK: "bitpack", ZSTD: "zstd",
-    FSST: "fsst", SCALED: "scaled", SPLIT: "split",
+    FSST: "fsst", SCALED: "scaled", SPLIT: "split", LIST: "list",
 }
 CODEC_IDS = {v: k for k, v in CODEC_NAMES.items()}
 
@@ -58,20 +59,53 @@ DT_F32 = 5
 DT_F64 = 6
 DT_STR = 7   # utf-8 varlen
 DT_BIN = 8   # raw-bytes varlen
+DT_U8 = 9    # bytes / booleans (bitpack & RLE shine here)
+DT_LIST = 10  # list<numeric> — ListValues container
 
 NUMERIC_NP = {
     DT_U32: np.dtype("<u4"), DT_U64: np.dtype("<u8"),
     DT_I32: np.dtype("<i4"), DT_I64: np.dtype("<i8"),
     DT_F32: np.dtype("<f4"), DT_F64: np.dtype("<f8"),
+    DT_U8: np.dtype("<u1"),
 }
 DTYPE_NAMES = {
     DT_U32: "u32", DT_U64: "u64", DT_I32: "i32", DT_I64: "i64",
     DT_F32: "f32", DT_F64: "f64", DT_STR: "str", DT_BIN: "bin",
+    DT_U8: "u8", DT_LIST: "list",
 }
 
 
 def is_varlen(dtype_code: int) -> bool:
     return dtype_code in (DT_STR, DT_BIN)
+
+
+def is_list(dtype_code: int) -> bool:
+    return dtype_code == DT_LIST
+
+
+@dataclass
+class ListValues:
+    """Flattened list<numeric> column: Arrow list layout.
+
+    One values stream + per-row lengths (as offsets) — the standard
+    columnar decomposition of a nested column, so the child stream
+    routes through the existing numeric codec stack (SPLIT/SCALED/zstd
+    for embeddings, varint family for int lists).
+    """
+
+    offsets: np.ndarray   # int64[n+1], offsets[0] == 0, monotone
+    child: np.ndarray     # numeric child values, len == offsets[-1]
+    child_dtype: int      # DT_* numeric code of the child stream
+
+    def __len__(self) -> int:
+        return self.offsets.shape[0] - 1
+
+    @property
+    def nbytes(self) -> int:
+        return int(self.offsets.shape[0] * 8 + self.child.nbytes)
+
+    def lengths(self) -> np.ndarray:
+        return np.diff(self.offsets)
 
 
 @dataclass

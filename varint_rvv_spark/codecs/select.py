@@ -59,6 +59,13 @@ def column_stats(values, dtype_code: int) -> dict:
 
     n = len(values)
     stats = {"n": n}
+    if B.is_list(dtype_code):
+        # list columns: the child/length streams are auto-selected
+        # inside the LIST codec; only shape stats are useful here
+        if n:
+            stats["avg_len"] = float(values.lengths().mean())
+            stats["child_n"] = int(values.offsets[-1])
+        return stats
     if n == 0:
         return stats
     idx = _sample_idx(n, _sample_k(dtype_code, values))
@@ -121,6 +128,8 @@ def _trial_size(codec_id: int, sample, dtype_code: int, scale: float) -> float:
 
 def select_codec(values, dtype_code: int, stats: dict | None = None) -> int:
     """Pick a codec id for one column chunk."""
+    if B.is_list(dtype_code):
+        return B.LIST  # container codec; child streams auto-select inside
     n = len(values)
     if n == 0:
         return B.RAW
@@ -190,7 +199,7 @@ def encode_auto(values, dtype_code: int, stats: dict | None = None):
     stats = stats or column_stats(values, dtype_code)
     codec_id = select_codec(values, dtype_code, stats)
     out = B.encode_blob(codec_id, dtype_code, values)
-    if (not B.is_varlen(dtype_code)
+    if (dtype_code in B.NUMERIC_NP
             and B.NUMERIC_NP[dtype_code].kind in "iu"
             and codec_id not in (B.VARINT, B.DELTA_VARINT, B.BITPACK)):
         exact = stats.get("_exact_int_sizes") or _exact_int_sizes(

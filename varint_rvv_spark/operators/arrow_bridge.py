@@ -26,9 +26,42 @@ from ..codecs.composite import pa_to_varlen, varlen_to_pa
 LT_TIMESTAMP_US = "timestamp_us"
 LT_NARROW_INT = "narrow_int"
 LT_PLAIN = "plain"
+LT_DATE32 = "date32"     # stored as int32 day numbers → delta/varint
+LT_BOOL = "bool"         # stored as uint8 0/1 → RLE/bitpack
+LT_DECIMAL = "decimal"   # "decimal:p:s", unscaled int64 (p ≤ 18)
+LT_LIST = "list"         # "list:<child arrow type name>"
 
 _NARROW_PA = {"int8": pa.int8(), "int16": pa.int16(),
               "uint8": pa.uint8(), "uint16": pa.uint16()}
+
+# numeric child types a list column may carry (code ⟷ arrow type)
+_LIST_CHILD_CODES = {
+    pa.int32(): B.DT_I32, pa.int64(): B.DT_I64,
+    pa.uint32(): B.DT_U32, pa.uint64(): B.DT_U64,
+    pa.float32(): B.DT_F32, pa.float64(): B.DT_F64,
+}
+_LIST_CHILD_PA = {v: k for k, v in _LIST_CHILD_CODES.items()}
+
+
+def _list_to_values(arr: pa.Array) -> B.ListValues:
+    """list/large_list/fixed_size_list<numeric> → ListValues (flat)."""
+    vt = arr.type.value_type
+    code = _LIST_CHILD_CODES.get(vt)
+    if code is None:
+        raise TypeError(f"unsupported list child type {vt}")
+    arr = arr.cast(pa.large_list(vt))
+    raw_off = arr.offsets.to_numpy(zero_copy_only=False)
+    base = int(raw_off[0])
+    offsets = (raw_off - base).astype(np.int64)
+    child = arr.values.slice(base, int(offsets[-1]))
+    if child.null_count:
+        raise TypeError(
+            "null list elements are not supported (null rows are; "
+            "fill or drop element-level nulls before encoding)")
+    child_np = child.to_numpy(zero_copy_only=False).astype(
+        B.NUMERIC_NP[code], copy=False)
+    return B.ListValues(offsets=offsets, child=child_np,
+                        child_dtype=code)
 
 
 def arrow_to_values(arr: pa.Array):
@@ -38,6 +71,10 @@ def arrow_to_values(arr: pa.Array):
     validity_bytes is b"" when there are no nulls, else a
     little-endian packed bitmap (1 = valid).
     """
+    if pa.types.is_fixed_size_list(arr.type):
+        # a null fixed-size row cannot be filled with [] — widen to a
+        # variable-length list first (metadata-level cast)
+        arr = arr.cast(pa.large_list(arr.type.value_type))
     validity = b""
     if arr.null_count:
         mask = arr.is_valid().to_numpy(zero_copy_only=False).astype(bool)
@@ -55,6 +92,34 @@ def arrow_to_values(arr: pa.Array):
         logical = (f"{LT_TIMESTAMP_US}:{t.tz}" if t.tz
                    else LT_TIMESTAMP_US)
         return arr.to_numpy(zero_copy_only=False), B.DT_I64, logical, validity
+    if (pa.types.is_list(t) or pa.types.is_large_list(t)
+            or pa.types.is_fixed_size_list(t)):
+        lv = _list_to_values(arr)
+        logical = f"{LT_LIST}:{t.value_type}"
+        return lv, B.DT_LIST, logical, validity
+    if pa.types.is_date32(t):
+        # day numbers: sorted dates → 1-2 byte deltas through the
+        # existing integer stack
+        return (arr.cast(pa.int32()).to_numpy(zero_copy_only=False),
+                B.DT_I32, LT_DATE32, validity)
+    if pa.types.is_boolean(t):
+        return (arr.cast(pa.uint8()).to_numpy(zero_copy_only=False),
+                B.DT_U8, LT_BOOL, validity)
+    if pa.types.is_decimal(t):
+        if t.precision > 18:
+            raise TypeError(
+                f"decimal precision {t.precision} > 18: unscaled value "
+                f"may not fit int64")
+        # unscaled int64: the low word of the 128-bit little-endian
+        # storage (exact for p ≤ 18 since |unscaled| < 10^18 < 2^63)
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) \
+            else arr
+        buf = arr.buffers()[1]
+        raw = np.frombuffer(buf, dtype="<i8",
+                            count=(arr.offset + len(arr)) * 2)
+        vals = raw[arr.offset * 2::2].copy()
+        return vals, B.DT_I64, f"{LT_DECIMAL}:{t.precision}:{t.scale}", \
+            validity
     if pa.types.is_integer(t) or pa.types.is_floating(t):
         code = {
             pa.int32(): B.DT_I32, pa.int64(): B.DT_I64,
@@ -80,14 +145,18 @@ def _null_fill(t: pa.DataType):
         return ""
     if pa.types.is_binary(t) or pa.types.is_large_binary(t):
         return b""
-    if pa.types.is_timestamp(t):
-        return 0
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return pa.scalar([], type=t)
+    if pa.types.is_boolean(t):
+        return False
     return 0
 
 
 def values_to_arrow(values, dtype_code: int, logical: str,
                     validity: bytes) -> pa.Array:
     """Inverse of arrow_to_values (bit-identical reconstruction)."""
+    if B.is_list(dtype_code):
+        return _values_to_list_arrow(values, logical, validity)
     if B.is_varlen(dtype_code):
         arr = varlen_to_pa(values)
         if dtype_code == B.DT_STR:
@@ -101,6 +170,13 @@ def values_to_arrow(values, dtype_code: int, logical: str,
             "us", tz=logical.split(":", 1)[1]))
     elif logical.startswith(LT_NARROW_INT + ":"):
         arr = arr.cast(_NARROW_PA[logical.split(":", 1)[1]])
+    elif logical == LT_DATE32:
+        arr = arr.cast(pa.date32())
+    elif logical == LT_BOOL:
+        arr = arr.cast(pa.bool_())
+    elif logical.startswith(LT_DECIMAL + ":"):
+        _, p, s = logical.split(":")
+        arr = _int64_to_decimal(values, int(p), int(s))
     if validity:
         n = len(arr)
         mask = np.unpackbits(np.frombuffer(validity, dtype=np.uint8),
@@ -109,8 +185,45 @@ def values_to_arrow(values, dtype_code: int, logical: str,
     return arr
 
 
+def _values_to_list_arrow(values: "B.ListValues", logical: str,
+                          validity: bytes) -> pa.Array:
+    """ListValues → Arrow list array (Spark's arrow type for ArrayType).
+
+    The validity bitmap (already little-endian packed, 1 = valid) plugs
+    straight into the list layout's own validity buffer — null rows
+    were encoded as empty lists, so offsets stay monotone.
+    """
+    child_type = _LIST_CHILD_PA[values.child_dtype]
+    child = pa.array(np.ascontiguousarray(
+        values.child, dtype=B.NUMERIC_NP[values.child_dtype]))
+    n = len(values)
+    bufs = [pa.py_buffer(bytes(validity)) if validity else None,
+            pa.py_buffer(np.ascontiguousarray(values.offsets,
+                                              dtype="<i8"))]
+    arr = pa.Array.from_buffers(
+        pa.large_list(child_type), n, bufs, children=[child])
+    if validity:
+        arr = arr.cast(pa.large_list(child_type))  # normalize null slots
+    # Spark's mapInArrow/applyInArrow expect 32-bit-offset list for
+    # ArrayType; exact for any realistic chunk (< 2^31 child values)
+    return arr.cast(pa.list_(child_type))
+
+
+def _int64_to_decimal(values: np.ndarray, precision: int,
+                      scale: int) -> pa.Array:
+    """Unscaled int64 → decimal128(p, s), bit-exact (two's-complement
+    sign extension into the high 64-bit word)."""
+    lo = np.ascontiguousarray(values, dtype="<i8")
+    words = np.empty(lo.shape[0] * 2, dtype="<i8")
+    words[0::2] = lo
+    words[1::2] = lo >> 63  # arithmetic shift = sign extension
+    return pa.Array.from_buffers(
+        pa.decimal128(precision, scale), lo.shape[0],
+        [None, pa.py_buffer(words)])
+
+
 def raw_nbytes(values, dtype_code: int) -> int:
-    if B.is_varlen(dtype_code):
+    if B.is_varlen(dtype_code) or B.is_list(dtype_code):
         return int(values.nbytes)
     return int(np.ascontiguousarray(values).nbytes)
 
@@ -125,6 +238,11 @@ def values_sha256(values, dtype_code: int) -> str:
     if B.is_varlen(dtype_code):
         h.update(np.ascontiguousarray(values.lengths(), dtype="<i8").data)
         h.update(np.ascontiguousarray(values.data).data)
+    elif B.is_list(dtype_code):
+        h.update(np.ascontiguousarray(values.lengths(), dtype="<i8").data)
+        h.update(bytes([values.child_dtype]))
+        h.update(np.ascontiguousarray(
+            values.child, dtype=B.NUMERIC_NP[values.child_dtype]).data)
     else:
         arr = np.ascontiguousarray(values)
         if arr.dtype.byteorder == ">":  # never on this platform, but exact

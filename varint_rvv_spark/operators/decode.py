@@ -23,7 +23,7 @@ VERIFY_SCHEMA = ("chunk_id long, column string, n_values long, "
 def _mismatch_samples(values, dt, stats: dict, n_expected: int) -> list:
     """First ≤10 (index, expected, got) triples from the encode-time
     head/tail witness samples (reference example.c:154-168 twin)."""
-    if B.is_varlen(dt):
+    if B.is_varlen(dt) or B.is_list(dt):
         got_vals = [int(x) for x in values.lengths()]
     else:
         kind = B.NUMERIC_NP[dt].kind
@@ -80,7 +80,7 @@ def _verify_kernel(batch_iter):
                         "mismatch_samples":
                             _mismatch_samples(values, dt, stats,
                                               int(n_exp))}
-                if B.is_varlen(dt):
+                if B.is_varlen(dt) or B.is_list(dt):
                     diag["samples_are"] = "row_lengths"
                 out["diag"].append(json.dumps(diag))
         yield pa.RecordBatch.from_pydict(out)

@@ -84,7 +84,7 @@ def _append_column_row(rows: dict, chunk_id: int, col: str, arr,
     # reference example's first-10-mismatches diagnostic
     # (/root/reference/example/example.c:154-168)
     if len(values):
-        if B.is_varlen(dt):
+        if B.is_varlen(dt) or B.is_list(dt):
             lens = values.lengths()
             out_stats["head"] = [int(x) for x in lens[:10]]
             out_stats["tail"] = [int(x) for x in lens[-10:]]
@@ -116,7 +116,7 @@ def _append_column_row(rows: dict, chunk_id: int, col: str, arr,
                         abs(out_stats["vmax"]), 1) < (1 << 62):
                     out_stats["vsum"] = int(
                         values.sum(dtype=np.int64))
-    if (not B.is_varlen(dt) and B.NUMERIC_NP[dt].kind in "iu"
+    if (dt in B.NUMERIC_NP and B.NUMERIC_NP[dt].kind in "iu"
             and len(values)):
         from ..codecs.numeric import _as_u64
         from ..codecs.varint import varint_byte_lengths

@@ -29,6 +29,9 @@ TABLE_SCHEMAS = {
                 "l_extendedprice double, l_discount double, l_tax double, "
                 "l_returnflag string, l_linestatus string, "
                 "l_shipdate timestamp",
+    "embeddings": "vec_id long, embedding array<float>, label int",
+    "orders_dates": "o_orderkey long, o_orderstatus string, "
+                    "o_totalprice double, o_date date, is_urgent boolean",
 }
 
 
@@ -138,6 +141,64 @@ SELECT COUNT(*) AS n_events, CAST(SUM(event_id) AS BIGINT) AS sum_ids,
 FROM events
 WHERE epoch_us(ts) >= 1704844800000000
   AND epoch_us(ts) < 1705449600000000
+"""
+
+
+def rt_embeddings_roundtrip(spark, sf_dir):
+    """Array-column round-trip: the embeddings table (array<float>)
+    through the LIST codec (flatten → lengths varint/RLE + child
+    SPLIT/zstd) and back — the nested-type path an LLM-pipeline's
+    highest-volume non-text column needs.  Aggregates mirror
+    embeddings_array_ops, so equality proves bit-exact floats."""
+    d = _roundtrip(spark, sf_dir, "embeddings", "vec_id")
+    norm2 = F.aggregate(F.transform("embedding", lambda x: x * x),
+                        F.lit(0.0), lambda a, x: a + x)
+    return (d.groupBy("label")
+            .agg(F.count("*").alias("n_vecs"),
+                 F.max(F.size("embedding")).alias("dim"),
+                 F.round(F.avg(norm2), 4).alias("avg_norm2"),
+                 F.round(F.sum(F.element_at("embedding", 1)), 4)
+                 .alias("sum_first"),
+                 F.sum("vec_id").alias("sum_ids")))
+
+
+RT_EMBEDDINGS_SQL = """
+SELECT label, COUNT(*) AS n_vecs, MAX(len(embedding)) AS dim,
+       ROUND(AVG(list_dot_product(embedding, embedding)), 4) AS avg_norm2,
+       ROUND(SUM(embedding[1]), 4) AS sum_first,
+       CAST(SUM(vec_id) AS BIGINT) AS sum_ids
+FROM embeddings GROUP BY label
+"""
+
+
+def rt_orders_dates(spark, sf_dir):
+    """DATE + BOOLEAN column round-trip: derive a date32 column (day
+    numbers → delta/varint) and a boolean flag (uint8 → bitpack/RLE)
+    from orders, push both through encode → decode, aggregate."""
+    df = (_t(spark, sf_dir, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice",
+                  F.col("o_orderdate").cast("date").alias("o_date"),
+                  (F.col("o_orderpriority") == "1-URGENT")
+                  .alias("is_urgent")))
+    chunks = encode_chunks(df, key_cols=["o_orderkey"], num_chunks=8)
+    d = decode_table(chunks, df.columns, TABLE_SCHEMAS["orders_dates"],
+                     contiguous=True)
+    return (d.groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n_orders"),
+                 F.min(F.col("o_date").cast("string")).alias("min_date"),
+                 F.max(F.col("o_date").cast("string")).alias("max_date"),
+                 F.sum(F.col("is_urgent").cast("long")).alias("n_urgent"),
+                 F.round(F.sum("o_totalprice"), 2).alias("sum_price")))
+
+
+RT_ORDERS_DATES_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(MIN(CAST(o_orderdate AS DATE)) AS VARCHAR) AS min_date,
+       CAST(MAX(CAST(o_orderdate AS DATE)) AS VARCHAR) AS max_date,
+       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_urgent,
+       ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM orders GROUP BY o_orderstatus
 """
 
 
@@ -1417,6 +1478,8 @@ QUERIES = {
     "text_quality_by_lang": text_quality_by_lang,
     "rt_events_scanmode": rt_events_scanmode,
     "rt_events_pruned": rt_events_pruned,
+    "rt_embeddings_roundtrip": rt_embeddings_roundtrip,
+    "rt_orders_dates": rt_orders_dates,
     "footer_agg_events": footer_agg_events,
     "rt_documents_forced_codecs": rt_documents_forced_codecs,
     "rt_events_forced_float_codecs": rt_events_forced_float_codecs,
@@ -1461,6 +1524,8 @@ ORACLES = {
     "text_quality_by_lang": TEXT_QUALITY_SQL,
     "rt_events_scanmode": RT_EVENTS_SCANMODE_SQL,
     "rt_events_pruned": RT_EVENTS_PRUNED_SQL,
+    "rt_embeddings_roundtrip": RT_EMBEDDINGS_SQL,
+    "rt_orders_dates": RT_ORDERS_DATES_SQL,
     "footer_agg_events": FOOTER_AGG_SQL,
     "rt_documents_forced_codecs": RT_FORCED_CODECS_SQL,
     "rt_events_forced_float_codecs": RT_FORCED_FLOAT_SQL,
