@@ -186,3 +186,53 @@ def test_minhash_signatures_array_form_matches_groupby(spark):
     ra = sorted(map(tuple, a.collect()))
     rb = sorted(map(tuple, b.collect()))
     assert ra == rb
+
+
+def test_cosine_topk_two_phase_exact_and_bounded(spark, planted):
+    """The two-phase exact top-k must (a) equal the naive full-window
+    ranking and (b) leave the scan stage with ≤ k rows per probe per
+    partition — the 100 TB shape (no full-corpus reducer funnel)."""
+    from pyspark.sql.window import Window
+
+    from varint_rvv_spark.operators.similarity import cosine_topk_partials
+
+    corpus = planted.repartition(4)
+    probes = planted.filter(F.col("vec_id") < 3)
+    k = 7
+    got = {(r.probe_id, r.vec_id, r.cosine, r.rk)
+           for r in cosine_topk(corpus, probes, k=k).collect()}
+
+    # naive oracle: score everything, one window
+    p = probes.select(F.col("vec_id").alias("probe_id"),
+                      F.col("embedding").alias("probe_vec"))
+    from varint_rvv_spark.functions import vec_dot, vec_norm
+    j = planted.crossJoin(F.broadcast(p)) \
+        .filter(F.col("vec_id") != F.col("probe_id"))
+    cos = F.round(vec_dot("embedding", "probe_vec")
+                  / (vec_norm("embedding") * vec_norm("probe_vec")), 5)
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"),
+                                               F.asc("vec_id"))
+    want = {(r.probe_id, r.vec_id, r.cosine, r.rk)
+            for r in j.select("probe_id", "vec_id", cos.alias("cosine"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k).collect()}
+    assert got == want
+
+    part = cosine_topk_partials(corpus, probes, k=k)
+    n_parts = corpus.rdd.getNumPartitions()
+    assert part.count() <= k * n_parts * 3
+    # per (probe, partition-batch) the kernel keeps at most k
+    per_probe = part.groupBy("probe_id").count().collect()
+    assert all(r["count"] <= k * n_parts for r in per_probe)
+
+
+def test_cosine_topk_partials_are_map_side(spark, planted):
+    """Phase 1 (score + local top-k) must be shuffle-free: broadcast
+    probe join + mapInArrow only."""
+    from varint_rvv_spark.operators.similarity import cosine_topk_partials
+
+    probes = planted.filter(F.col("vec_id") < 3)
+    plan = plan_of(cosine_topk_partials(planted, probes, k=5))
+    # a BroadcastExchange (the probe set) is fine; a shuffle is not
+    assert plan.count("Exchange") == plan.count("BroadcastExchange")
+    assert "MapInArrow" in plan or "ArrowEvalPython" in plan

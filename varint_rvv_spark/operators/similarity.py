@@ -16,23 +16,83 @@ from pyspark.sql import DataFrame, functions as F
 from ..functions import vec_dot as _dot, vec_norm as _norm
 
 
-def cosine_topk(df: DataFrame, probe_df: DataFrame, k: int = 10,
-                id_col: str = "vec_id",
-                vec_col: str = "embedding") -> DataFrame:
-    """Exact top-k by cosine for each probe row (probe is broadcast)."""
-    from pyspark.sql.window import Window
+def _local_topk_kernel(k: int):
+    """Arrow-batch partial top-k: per probe, keep only the k best
+    (cosine desc, id asc) rows seen in this partition stream.  Memory
+    is O(probes × k + one batch); output is ≤ probes × k rows."""
+    import numpy as np
+    import pyarrow as pa
 
+    def fn(batch_iter):
+        best: dict = {}  # probe_id -> (cos f8[], id i8[]) sorted desc
+        schema = None
+        for batch in batch_iter:
+            schema = batch.schema
+            pid = batch.column(0).to_numpy(zero_copy_only=False)
+            ids = batch.column(1).to_numpy(zero_copy_only=False)
+            cos = batch.column(2).to_numpy(zero_copy_only=False)
+            for p in np.unique(pid):
+                m = pid == p
+                c, i = cos[m], ids[m]
+                if p in best:
+                    c = np.concatenate((best[p][0], c))
+                    i = np.concatenate((best[p][1], i))
+                # total order (cosine desc, id asc) — the same order the
+                # final window uses, so the global top-k is provably a
+                # subset of the union of these local top-ks
+                order = np.lexsort((i, -c))[:k]
+                best[p] = (c[order], i[order])
+        if schema is not None and best:
+            probes = sorted(best)
+            out_pid = np.concatenate(
+                [np.full(best[p][0].shape[0], p) for p in probes])
+            out_cos = np.concatenate([best[p][0] for p in probes])
+            out_ids = np.concatenate([best[p][1] for p in probes])
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_pid).cast(schema.field(0).type),
+                 pa.array(out_ids).cast(schema.field(1).type),
+                 pa.array(out_cos).cast(schema.field(2).type)],
+                schema=schema)
+
+    return fn
+
+
+def cosine_topk_partials(df: DataFrame, probe_df: DataFrame, k: int = 10,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Phase 1 of the exact scan: broadcast probes, score map-side,
+    reduce each scan partition to its local top-k per probe.  Zero
+    shuffle; the output is ≤ k × partitions rows per probe."""
     p = probe_df.select(F.col(id_col).alias("probe_id"),
                         F.col(vec_col).alias("probe_vec"))
     joined = df.crossJoin(F.broadcast(p)) \
         .filter(F.col(id_col) != F.col("probe_id"))
     cos = (_dot(F.col(vec_col), F.col("probe_vec"))
            / (_norm(F.col(vec_col)) * _norm(F.col("probe_vec"))))
+    id_t = dict(df.dtypes)[id_col]
+    scored = joined.select("probe_id", F.col(id_col),
+                           F.round(cos, 5).alias("cosine"))
+    return scored.mapInArrow(
+        _local_topk_kernel(k),
+        f"probe_id {id_t}, {id_col} {id_t}, cosine double")
+
+
+def cosine_topk(df: DataFrame, probe_df: DataFrame, k: int = 10,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k by cosine for each probe row (probe is broadcast).
+
+    Two-phase plan: a map-side partial top-k per scan partition
+    (cosine_topk_partials — only k rows per probe per partition leave
+    the scan stage), then the global window ranks the ≤ k × P
+    survivors.  At 100 TB the shuffle carries O(k·P) rows instead of
+    funneling the whole corpus through one reducer per probe."""
+    from pyspark.sql.window import Window
+
+    part = cosine_topk_partials(df, probe_df, k, id_col, vec_col)
     w = Window.partitionBy("probe_id").orderBy(
         F.desc("cosine"), F.asc(id_col))
-    return (joined.select("probe_id", F.col(id_col),
-                          F.round(cos, 5).alias("cosine"))
-            .withColumn("rk", F.row_number().over(w))
+    return (part.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= k))
 
 

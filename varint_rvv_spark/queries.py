@@ -853,6 +853,39 @@ WHERE rk <= 5
 """
 
 
+def similarity_cosine_topk(spark, sf_dir):
+    """Exact cosine top-k via the two-phase scan: map-side partial
+    top-k per partition (mapInArrow, ≤ k rows/probe/partition leave
+    the scan), then a global window over the bounded survivor set —
+    the 100 TB-safe exact-ANN baseline."""
+    from .operators.similarity import cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id").isin(5, 6, 7))
+    return cosine_topk(e, probes, k=5)
+
+
+SIMILARITY_COSINE_TOPK_SQL = """
+SELECT probe_id, vec_id, cosine, rk FROM (
+  SELECT p.vec_id AS probe_id, e.vec_id,
+         ROUND(list_dot_product(e.embedding, p.embedding)
+               / (sqrt(list_dot_product(e.embedding, e.embedding))
+                  * sqrt(list_dot_product(p.embedding, p.embedding))), 5)
+           AS cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.vec_id
+           ORDER BY ROUND(list_dot_product(e.embedding, p.embedding)
+                    / (sqrt(list_dot_product(e.embedding, e.embedding))
+                       * sqrt(list_dot_product(p.embedding, p.embedding))),
+                    5) DESC, e.vec_id ASC) AS rk
+  FROM embeddings e
+  JOIN (SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id IN (5, 6, 7)) p
+    ON e.vec_id <> p.vec_id) t
+WHERE rk <= 5
+"""
+
+
 def similarity_lsh_topk(spark, sf_dir):
     """Sign-LSH bucketed approximate top-k with multi-probe.
 
@@ -1468,6 +1501,7 @@ QUERIES = {
     "text_lang_id": text_lang_id,
     "text_token_counts": text_token_counts,
     "text_fingerprint_dupes": text_fingerprint_dupes,
+    "similarity_cosine_topk": similarity_cosine_topk,
     "similarity_lsh_topk": similarity_lsh_topk,
     "similarity_ivf_topk": similarity_ivf_topk,
     "multimodal_features": multimodal_features,
@@ -1536,6 +1570,7 @@ ORACLES = {
     "orders_rollup": ORDERS_ROLLUP_SQL,
     "string_date_functions": STRING_DATE_SQL,
     "global_dict_roundtrip": GLOBAL_DICT_SQL,
+    "similarity_cosine_topk": SIMILARITY_COSINE_TOPK_SQL,
     "similarity_ivf_topk": SIMILARITY_IVF_SQL,
     "similarity_lsh_topk": _lsh_topk_sql(),
     "multimodal_features": MULTIMODAL_SQL,
