@@ -236,3 +236,63 @@ def test_cosine_topk_partials_are_map_side(spark, planted):
     # a BroadcastExchange (the probe set) is fine; a shuffle is not
     assert plan.count("Exchange") == plan.count("BroadcastExchange")
     assert "MapInArrow" in plan or "ArrowEvalPython" in plan
+
+
+def test_connected_components_long_chain(spark):
+    """A 50-node path converges in O(log n) star rounds — the shape
+    that breaks O(diameter) label propagation."""
+    from varint_rvv_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(49)], "id_a long, id_b long")
+    got = {(r.id, r.comp) for r in
+           connected_components(edges, max_iter=12).collect()}
+    assert got == {(i, 0) for i in range(50)}
+
+
+def test_connected_components_shuffled_ids_and_pairs(spark):
+    from varint_rvv_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(100, 7), (7, 55), (300, 200), (200, 100), (9, 9), (42, 41)],
+        "id_a long, id_b long")
+    got = {(r.id, r.comp) for r in connected_components(edges).collect()}
+    assert got == {(7, 7), (55, 7), (100, 7), (200, 7), (300, 7),
+                   (9, 9), (41, 41), (42, 41)}
+
+
+def test_ngram_jaccard_doc_freq_cap(spark):
+    """A boilerplate shingle shared by every doc must not create the
+    quadratic fan-out: with the cap it is dropped from BOTH sides of
+    the Jaccard, so boilerplate-only pairs vanish while real near-dup
+    pairs survive with the capped-universe Jaccard."""
+    from varint_rvv_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        word_shingles,
+    )
+
+    boiler = "all rights reserved"
+    docs = [(i, f"{boiler} unique{i} token{i} filler{i} pad{i}")
+            for i in range(20)]
+    # one real near-dup pair sharing everything but one token
+    docs += [(100, boiler + " same same same same extra one"),
+             (101, boiler + " same same same same extra two")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    pairs = ngram_jaccard_pairs(df, "doc_id", "text", k=3,
+                                threshold=0.3, max_doc_freq=10)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {(100, 101)}
+
+    # the capped shingle is really gone before the join
+    sh = word_shingles(df, "doc_id", "text", k=3)
+    df_counts = sh.groupBy("shingle").count()
+    hot = {r.shingle for r in
+           df_counts.filter(F.col("count") > 10).collect()}
+    assert boiler in hot  # the planted boilerplate is above the cap
+    # uncapped: the boilerplate joins every doc pair that shares it —
+    # with the cap the intersect join fan-out is bounded by df² of the
+    # surviving shingles only
+    uncapped = ngram_jaccard_pairs(df, "doc_id", "text", k=3,
+                                   threshold=0.3, max_doc_freq=None)
+    assert uncapped.count() >= 1  # still exact when explicitly asked

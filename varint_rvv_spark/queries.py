@@ -511,19 +511,25 @@ WHERE a.doc_id < b.doc_id
 
 
 def dedup_ngram_jaccard(spark, sf_dir):
-    """Exact word-3-gram Jaccard ≥ 0.5 pairs on documents."""
+    """Exact word-3-gram Jaccard ≥ 0.5 pairs on documents (shingles
+    with document frequency > 1000 are dropped before the self-join —
+    the boilerplate guard, mirrored in the oracle)."""
     from .operators.dedup import ngram_jaccard_pairs
 
     d = _t(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.5)
+    return ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.5,
+                               max_doc_freq=1000)
 
 
 NGRAM_JACCARD_SQL = """
 WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
            FROM documents),
-sh AS (SELECT DISTINCT doc_id,
-              toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
-       FROM d, UNNEST(range(1, len(toks) - 1)) AS t(i)),
+sh0 AS (SELECT DISTINCT doc_id,
+               toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+        FROM d, UNNEST(range(1, len(toks) - 1)) AS t(i)),
+sh AS (SELECT sh0.* FROM sh0
+       JOIN (SELECT shingle FROM sh0 GROUP BY shingle
+             HAVING COUNT(*) <= 1000) keep USING (shingle)),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
 inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
           FROM sh a JOIN sh b USING (shingle)
