@@ -296,3 +296,17 @@ def test_ngram_jaccard_doc_freq_cap(spark):
     uncapped = ngram_jaccard_pairs(df, "doc_id", "text", k=3,
                                    threshold=0.3, max_doc_freq=None)
     assert uncapped.count() >= 1  # still exact when explicitly asked
+
+
+def test_hyperplane_dim_mismatch_raises(spark):
+    """dim != embedding length must fail loudly, not degenerate every
+    row into bucket 0 (ADVICE round-2)."""
+    from py4j.protocol import Py4JJavaError
+
+    from varint_rvv_spark.operators.similarity import hyperplane_signs
+
+    df = spark.createDataFrame([(1, [1.0, 2.0, 3.0])],
+                               "vec_id long, embedding array<float>")
+    with pytest.raises((Py4JJavaError, Exception)) as exc:
+        hyperplane_signs(df, "embedding", n_planes=4, dim=8).collect()
+    assert "dim" in str(exc.value)

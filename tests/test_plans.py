@@ -98,3 +98,13 @@ def test_chunk_column_partition_pruning(spark, pages, tmp_path):
     plan = plan_of(pruned)
     # partition filter on the `column` dir key, not a post-scan filter
     assert "PartitionFilters" in plan and "column" in plan
+
+def test_scan_resume_skip_is_broadcast_join_no_shuffle(spark, pages):
+    """Scan-mode resume skips done chunks via a broadcast left_anti
+    join (no driver collect of chunk ids, no shuffle): the whole plan's
+    only Exchange is the broadcast of the done-id set."""
+    df = encode_chunks_scan(pages, rows_per_chunk=128,
+                            done_chunk_ids=[0, 1_000_000])
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert plan.count("Exchange") == plan.count("BroadcastExchange")

@@ -344,3 +344,21 @@ def test_footer_vsum_guard_returns_null_on_gaps(spark):
         F.when(F.count(F.lit(1)) == F.count(vsum),
                F.sum(vsum)).alias("s")).collect()[0]
     assert ok.s == 100
+
+
+def test_prune_chunks_unknown_column_raises(spark):
+    """A typo'd column name must raise, not silently prune every chunk
+    (ADVICE round-2)."""
+    import pytest
+
+    from varint_rvv_spark.operators.decode import prune_chunks
+    from varint_rvv_spark.operators.encode import encode_chunks_scan
+    from varint_rvv_spark.sources.pages import pages_df
+
+    chunks = encode_chunks_scan(pages_df(spark, 100, seed=3,
+                                         partitions=2)).cache()
+    try:
+        with pytest.raises(ValueError, match="no footer rows"):
+            prune_chunks(chunks, "wrac_ts", lo=0)
+    finally:
+        chunks.unpersist()

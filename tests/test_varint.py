@@ -170,3 +170,44 @@ def test_gather_kernel_u64_and_errors():
     # all-1-byte fast path
     ones = varint_encode(np.arange(100, dtype=np.uint64))
     assert (varint_decode_gather(ones) == np.arange(100)).all()
+
+
+def test_decode_rejects_u32_overflow_top_byte():
+    """A 5-byte varint whose top byte exceeds 0x0F must raise, not wrap
+    modulo 2^32 (ADVICE round-2: the u32 accumulator widened the silent
+    wrap surface)."""
+    import numpy as np
+    import pytest
+
+    from varint_rvv_spark.codecs.varint import (
+        varint_decode,
+        varint_decode_gather,
+    )
+
+    # 0x80 0x80 0x80 0x80 0x10 → value 2^32 (needs 33 bits)
+    bad = np.array([0x80, 0x80, 0x80, 0x80, 0x10], dtype=np.uint8)
+    for fn in (varint_decode, varint_decode_gather):
+        with pytest.raises(ValueError, match="overflow"):
+            fn(bad, out_dtype=np.uint32)
+    # the max legal uint32 still decodes
+    good = np.array([0xFF, 0xFF, 0xFF, 0xFF, 0x0F], dtype=np.uint8)
+    assert int(varint_decode(good, out_dtype=np.uint32)[0]) == 2**32 - 1
+    assert int(varint_decode_gather(good,
+                                    out_dtype=np.uint32)[0]) == 2**32 - 1
+
+
+def test_decode_rejects_u64_overflow_top_byte():
+    import numpy as np
+    import pytest
+
+    from varint_rvv_spark.codecs.varint import (
+        varint_decode,
+        varint_decode_gather,
+    )
+
+    bad = np.array([0x80] * 9 + [0x02], dtype=np.uint8)  # 2^65
+    for fn in (varint_decode, varint_decode_gather):
+        with pytest.raises(ValueError, match="overflow"):
+            fn(bad, out_dtype=np.uint64)
+    good = np.array([0xFF] * 9 + [0x01], dtype=np.uint8)
+    assert int(varint_decode(good, out_dtype=np.uint64)[0]) == 2**64 - 1

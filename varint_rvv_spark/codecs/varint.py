@@ -105,6 +105,11 @@ def varint_decode(buf: np.ndarray, out_dtype=np.uint64) -> np.ndarray:
     acc_dt = (np.uint32 if np.dtype(out_dtype).itemsize <= 4
               else np.uint64)
     max_rounds = 4 if acc_dt == np.uint32 else 9
+    # max-length varints carry only the accumulator's leftover bits in
+    # their top byte (4 for uint32, 1 for uint64 — encoder contract
+    # /root/reference/lib/src/varint_encode.c:53); anything larger
+    # would silently wrap modulo 2^width, so it must raise instead
+    top_limit = np.uint8(0x0F) if acc_dt == np.uint32 else np.uint8(0x01)
     res = buf[ends].astype(acc_dt)
     idx = np.flatnonzero((ends >= 1) & cont[np.maximum(ends - 1, 0)])
     k = 1
@@ -114,6 +119,14 @@ def varint_decode(buf: np.ndarray, out_dtype=np.uint64) -> np.ndarray:
                 f"varint longer than {max_rounds + 1} bytes (malformed "
                 f"stream for {np.dtype(out_dtype)})")
         pi = ends[idx] - k
+        if k == max_rounds and (buf[ends[idx]] > top_limit).any():
+            # values still active at the final round are max-length;
+            # their terminator (the MOST significant 7-bit group) must
+            # fit the accumulator's leftover bits
+            raise ValueError(
+                f"varint overflows {np.dtype(out_dtype)}: top byte of a "
+                f"{max_rounds + 1}-byte varint exceeds "
+                f"0x{int(top_limit):02X}")
         res[idx] = (res[idx] << acc_dt(7)) | (buf[pi] & np.uint8(0x7F))
         nxt = pi - 1
         keep = nxt >= 0
@@ -166,6 +179,14 @@ def varint_decode_gather(buf: np.ndarray, out_dtype=np.uint64,
     lanes = buf[np.minimum(idx, n - 1)].astype(acc_dt)
     lanes &= acc_dt(0x7F)
     lanes *= valid
+    # same top-byte overflow guard as the active-set kernel
+    full_w = 5 if np.dtype(out_dtype).itemsize <= 4 else 10
+    if width == full_w:
+        limit = 0x0F if full_w == 5 else 0x01
+        if (lanes[:, full_w - 1] > limit).any():
+            raise ValueError(
+                f"varint overflows {np.dtype(out_dtype)}: top byte of a "
+                f"{full_w}-byte varint exceeds 0x{limit:02X}")
     res = lanes[:, 0].copy()
     for k in range(1, width):
         res |= lanes[:, k] << acc_dt(7 * k)

@@ -157,6 +157,14 @@ def prune_chunks(chunks: DataFrame, column: str,
     DataFrame when it is a freshly-encoded lineage (the qualifying-id
     branch would otherwise recompute the encode).
     """
+    col_rows = chunks.filter(F.col("column") == column)
+    if col_rows.isEmpty():
+        # a typo'd / varlen-only column name would otherwise produce an
+        # empty qualifying set and silently drop EVERY chunk
+        raise ValueError(
+            f"prune_chunks: no footer rows for column {column!r} — "
+            f"check the column name (pruning on it would drop all "
+            f"chunks, not zero)")
     vmin = F.get_json_object("stats_json", "$.vmin").cast("double")
     vmax = F.get_json_object("stats_json", "$.vmax").cast("double")
     overlap = F.lit(True)
@@ -164,7 +172,7 @@ def prune_chunks(chunks: DataFrame, column: str,
         overlap = overlap & (vmax.isNull() | (vmax >= F.lit(float(lo))))
     if hi is not None:
         overlap = overlap & (vmin.isNull() | (vmin <= F.lit(float(hi))))
-    qual = (chunks.filter(F.col("column") == column).filter(overlap)
+    qual = (col_rows.filter(overlap)
             .select("chunk_id").distinct())
     return chunks.join(F.broadcast(qual), "chunk_id", "left_semi")
 

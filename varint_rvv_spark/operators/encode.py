@@ -232,6 +232,38 @@ def encode_chunks(df: DataFrame, key_cols: list[str] | None = None,
         CHUNK_SPARK_SCHEMA)
 
 
+def with_scan_chunk_ids(df: DataFrame,
+                        rows_per_chunk: int) -> DataFrame:
+    """Append the positional scan-mode chunk_id column (no shuffle).
+
+    chunk_id = partition_id × 10^6 + row_position // rows_per_chunk —
+    exact row arithmetic, so chunk boundaries depend ONLY on the scan
+    partition layout and rows_per_chunk (not on Arrow batch sizing,
+    which spark.sql.execution.arrow.maxRecordsPerBatch could silently
+    change between runs).  Ids are monotone within a partition, so
+    chunk rows stay contiguous for the streaming encode kernel.
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(list(df.schema.fields)
+                            + [StructField(CHUNK_ID, LongType())])
+
+    def fn(batch_iter):
+        from pyspark import TaskContext
+
+        base = TaskContext.get().partitionId() * 1_000_000
+        row = 0
+        for batch in batch_iter:
+            n = batch.num_rows
+            cids = base + (row + np.arange(n, dtype=np.int64)) \
+                // rows_per_chunk
+            row += n
+            yield batch.append_column(
+                CHUNK_ID, pa.array(cids, type=pa.int64()))
+
+    return df.mapInArrow(fn, out_schema)
+
+
 def encode_chunks_range(df: DataFrame, range_cols: list[str],
                         num_partitions: int | None = None,
                         rows_per_chunk: int = 65536,
@@ -257,9 +289,9 @@ def encode_chunks_range(df: DataFrame, range_cols: list[str],
     clustered = (df.select(*cols)
                  .repartitionByRange(n, *[F.col(c) for c in range_cols])
                  .sortWithinPartitions(*range_cols))
-    return clustered.mapInArrow(
-        _scan_kernel(cols, rows_per_chunk, None, codec_overrides, -1),
-        CHUNK_SPARK_SCHEMA)
+    keyed = with_scan_chunk_ids(clustered, rows_per_chunk)
+    return keyed.mapInArrow(
+        _encode_kernel(cols, codec_overrides, -1), CHUNK_SPARK_SCHEMA)
 
 
 def footer_of(chunks: DataFrame) -> DataFrame:
@@ -267,64 +299,22 @@ def footer_of(chunks: DataFrame) -> DataFrame:
     return chunks.drop("payload", "validity")
 
 
-def _scan_kernel(columns: list[str], rows_per_chunk: int,
-                 done_b, codec_overrides: dict | None,
-                 fp_slot: int = -1):
-    """Kernel for shuffle-free encode: chunk = consecutive scan rows.
-
-    fp_slot: the layout-fingerprint value recorded in each row's
-    num_chunks field (scan mode has no hash-space N, so the slot
-    instead identifies the positional chunk-id space)."""
-    overrides = codec_overrides or {}
-
-    def fn(batch_iter):
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        done = done_b.value if done_b is not None else frozenset()
-        buf: list[pa.RecordBatch] = []
-        buffered = 0
-        ordinal = 0
-
-        def flush(buf, ordinal):
-            tbl = pa.Table.from_batches(buf)
-            chunk_id = pid * 1_000_000 + ordinal
-            if chunk_id in done or tbl.num_rows == 0:
-                return None
-            rows = {k: [] for k in CHUNK_ARROW_SCHEMA.names}
-            for col in columns:
-                _append_column_row(rows, chunk_id, col,
-                                   tbl[col].combine_chunks(), overrides,
-                                   fp_slot)
-            return pa.RecordBatch.from_pydict(rows, schema=CHUNK_ARROW_SCHEMA)
-
-        for batch in batch_iter:
-            buf.append(batch)
-            buffered += batch.num_rows
-            if buffered >= rows_per_chunk:
-                out = flush(buf, ordinal)
-                if out is not None:
-                    yield out
-                buf, buffered = [], 0
-                ordinal += 1
-        if buf:
-            out = flush(buf, ordinal)
-            if out is not None:
-                yield out
-
-    return fn
-
-
 def scan_layout_fingerprint(df: DataFrame,
                             rows_per_chunk: int) -> int | None:
     """Deterministic 60-bit fingerprint of the scan-mode chunk-id space.
 
-    Scan-mode chunk_id = (scan partition, ordinal) is purely
-    positional: it is only stable while the input file set (paths +
-    sizes), rows_per_chunk and spark.sql.files.maxPartitionBytes are
-    all unchanged.  This fingerprint captures exactly those inputs so a
-    resume against a changed layout is refused instead of silently
-    skipping the wrong rows.
+    Scan-mode chunk_id = (scan partition, row // rows_per_chunk) is
+    purely positional: it is only stable while the input file set
+    (paths + sizes), rows_per_chunk, AND Spark's file-split planning
+    are all unchanged.  Split planning depends on
+    spark.sql.files.maxPartitionBytes, spark.sql.files.openCostInBytes
+    and defaultParallelism (maxSplitBytes = min(mpb, max(ocb,
+    total/parallelism))), so all three are folded in — plus the
+    REALIZED partition count of the projected scan, which pins the
+    actual planned layout even if a future Spark version changes the
+    formula.  A "v2" tag marks the row-exact chunking algorithm, so
+    footers from the pre-v2 batch-boundary kernel are refused rather
+    than silently mis-aligned.
 
     Returns None for non-file-backed inputs (createDataFrame/range):
     there is nothing to fingerprint, so footer-based resume is refused
@@ -344,11 +334,21 @@ def scan_layout_fingerprint(df: DataFrame,
         except OSError:  # non-local FS: path-only (still catches set
             sz = -1      # membership and ordering changes)
         parts.append(f"{f}:{sz}")
-    try:
-        mpb = df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes")
-    except Exception:  # defensive: config not resolvable
-        mpb = "unknown"
-    blob = "|".join(parts) + f"|rpc={rows_per_chunk}|mpb={mpb}"
+    conf = df.sparkSession.conf
+
+    def _get(key):
+        try:
+            return conf.get(key)
+        except Exception:  # defensive: config not resolvable
+            return "unknown"
+
+    mpb = _get("spark.sql.files.maxPartitionBytes")
+    ocb = _get("spark.sql.files.openCostInBytes")
+    dp = df.sparkSession.sparkContext.defaultParallelism
+    nparts = df.rdd.getNumPartitions()  # planning only, no job
+    blob = ("|".join(parts)
+            + f"|v2|rpc={rows_per_chunk}|mpb={mpb}|ocb={ocb}"
+            + f"|dp={dp}|np={nparts}")
     return int(hashlib.sha256(blob.encode()).hexdigest()[:15], 16)
 
 
@@ -366,13 +366,18 @@ def encode_chunks_scan(df: DataFrame, columns: list[str] | None = None,
     a fixed file layout + spark.sql.files.maxPartitionBytes.
 
     Resume: pass the previous run's footer as `done_footer` — finished
-    chunks skip the encode CPU inside the kernel.  Because scan-mode
-    chunk ids are positional, the footer's `num_chunks` slot carries
-    `-2 - scan_layout_fingerprint(...)` (always < -1, so hash-mode
-    resume still rejects it); a resume whose current layout fingerprint
-    differs is refused — mirroring hash mode's num_chunks guard.
-    `done_chunk_ids` (raw iterable) stays available for tests/advanced
-    callers and performs no layout validation.
+    chunks are skipped with the SAME broadcast left_anti join hash mode
+    uses (no driver-side collect of chunk ids: at 100 TB / 64 MB chunks
+    that would be ~1.6 M ids on the driver).  The join is a broadcast
+    hash join acting as a streaming filter, so partition order — and
+    therefore chunk contiguity — is preserved into the encode kernel.
+    Because scan-mode chunk ids are positional, the footer's
+    `num_chunks` slot carries `-2 - scan_layout_fingerprint(...)`
+    (always < -1, so hash-mode resume still rejects it); a resume whose
+    current layout fingerprint differs is refused — mirroring hash
+    mode's num_chunks guard.  `done_chunk_ids` (raw iterable) stays
+    available for tests/advanced callers and performs no layout
+    validation.
     """
     columns = columns or df.columns
     projected = df.select(*columns)
@@ -394,17 +399,23 @@ def encode_chunks_scan(df: DataFrame, columns: list[str] | None = None,
             raise ValueError(
                 f"scan-mode resume refused: footer layout fingerprint "
                 f"{prior} != current {fp_slot} — the input file "
-                f"set/sizes, rows_per_chunk or maxPartitionBytes "
-                f"changed, so positional chunk ids are not comparable; "
-                f"re-encode from scratch or use hash mode")
-        done_chunk_ids = [r[0] for r in
-                          done_footer.select("chunk_id").distinct()
-                          .collect()]
-    done_b = None
-    if done_chunk_ids is not None:
-        sc = df.sparkSession.sparkContext
-        done_b = sc.broadcast(frozenset(int(x) for x in done_chunk_ids))
-    return projected.mapInArrow(
-        _scan_kernel(columns, rows_per_chunk, done_b, codec_overrides,
-                     fp_slot),
+                f"set/sizes, rows_per_chunk, split config "
+                f"(maxPartitionBytes/openCostInBytes/parallelism) or "
+                f"chunking algorithm version changed, so positional "
+                f"chunk ids are not comparable; re-encode from scratch "
+                f"or use hash mode")
+    keyed = with_scan_chunk_ids(projected, rows_per_chunk)
+    done = None
+    # no .distinct() on the build side: left_anti ignores duplicate
+    # build rows, and distinct would cost a (tiny but pointless)
+    # shuffle of the id set before the broadcast
+    if done_footer is not None:
+        done = done_footer.select(F.col("chunk_id").alias(CHUNK_ID))
+    elif done_chunk_ids is not None:
+        ids = [(int(x),) for x in done_chunk_ids]
+        done = df.sparkSession.createDataFrame(ids, f"{CHUNK_ID} long")
+    if done is not None:
+        keyed = keyed.join(F.broadcast(done), CHUNK_ID, "left_anti")
+    return keyed.mapInArrow(
+        _encode_kernel(columns, codec_overrides, fp_slot),
         CHUNK_SPARK_SCHEMA)

@@ -122,9 +122,17 @@ def hyperplane_projections(df: DataFrame, vec_col: str = "embedding",
     """Per-plane dot products as an array<double> column (map-side).
 
     `dim` must equal the embedding length — zip_with would otherwise
-    null-pad and poison the fold.
+    null-pad, fold every projection to NULL and silently collapse all
+    rows into bucket 0 (degenerating the LSH equi-join to a full
+    single-bucket join), so a mismatched row raises loudly instead.
     """
     weights = plane_weights(n_planes, dim, seed)
+    df = df.withColumn(vec_col, F.when(
+        F.size(F.col(vec_col)) == dim, F.col(vec_col)).otherwise(
+        F.raise_error(F.concat(
+            F.lit(f"hyperplane_projections: embedding length != dim="
+                  f"{dim}; got "),
+            F.size(F.col(vec_col)).cast("string")))))
     projs = [
         F.aggregate(
             F.zip_with(F.col(vec_col),
