@@ -62,6 +62,34 @@ def best_of(f, reps=7):
     return best
 
 
+def best_of_cpu(f, reps=7):
+    """(wall_best, cpu_best) over reps — cpu via process_time, the
+    counter source for the cycles proxy."""
+    wall, cpu = float("inf"), float("inf")
+    for _ in range(reps):
+        c0 = time.process_time()
+        t0 = time.perf_counter()
+        f()
+        wall = min(wall, time.perf_counter() - t0)
+        cpu = min(cpu, time.process_time() - c0)
+    return wall, cpu
+
+
+def cpu_mhz() -> float | None:
+    """Median nominal CPU MHz from /proc/cpuinfo — the frequency used
+    by the cycles proxy (no perf_event_open in this sandbox, so
+    cycles ≈ single-thread CPU-seconds × nominal Hz)."""
+    try:
+        vals = [float(line.split(":")[1])
+                for line in open("/proc/cpuinfo")
+                if line.lower().startswith("cpu mhz")]
+    except OSError:
+        return None
+    if not vals:
+        return None
+    return sorted(vals)[len(vals) // 2]
+
+
 def parallel_decode_aggregate(dist, nproc: int = 8) -> float:
     """Aggregate MiB/s decoding independent streams in nproc processes —
     the engine's actual deployment shape (one chunk per worker)."""
@@ -102,13 +130,17 @@ def size_sweep(dist, name: str) -> list[str]:
 
 def main() -> None:
     rows = []
+    counter_rows = []
     sweep_rows = []
+    mhz = cpu_mhz()
     for name, dist in DISTS.items():
         vals = gen(dist, 1 << 20)
+        n = vals.shape[0]
         enc = varint_encode(vals)
         varint_decode(enc)  # warm
         t_dec = best_of(lambda: varint_decode(enc))
-        t_dec32 = best_of(lambda: varint_decode(enc, np.uint32))
+        t_dec32, c_dec32 = best_of_cpu(lambda: varint_decode(enc,
+                                                             np.uint32))
         t_enc = best_of(lambda: varint_encode(vals))
         dec_mibs = enc.nbytes / t_dec / (1 << 20)
         dec32_mibs = enc.nbytes / t_dec32 / (1 << 20)
@@ -119,6 +151,14 @@ def main() -> None:
                     f"| {dec32_mibs:,.0f} | {agg:,.0f} | {enc_mibs:,.0f} "
                     f"| {ref_vec} | {ref_scalar} |")
         print(rows[-1])
+        # counter proxies (reference benchmark.cc:91-139 twin): cycles
+        # ≈ cpu-seconds × nominal Hz; instructions are unavailable
+        # without perf_event_open, so insn/byte has no twin here
+        if mhz:
+            cycles = c_dec32 * mhz * 1e6
+            counter_rows.append(
+                f"| {name} | {enc.nbytes / cycles:.3f} "
+                f"| {cycles / n:.1f} | {n / t_dec32 / 1e6:,.1f} |")
         sweep_rows.extend(size_sweep(dist, name))
     md = REPO / "BENCH" / "KERNELS.md"
     md.write_text(
@@ -142,7 +182,24 @@ def main() -> None:
         "| reference vectorized decode (1 core) "
         "| reference scalar decode |\n"
         "|---|---|---|---|---|---|---|---|\n" + "\n".join(rows) + "\n\n"
-        "## Kernel iteration history (round 2)\n\n"
+        + (
+            "## Counter proxies (u32 decode, 1 core)\n\n"
+            "The reference reports bytes/cycle, insn/byte and insn/int\n"
+            "from perf_event_open (benchmark.cc:91-139).  This sandbox\n"
+            "has no perf access, so cycles are PROXIED as\n"
+            "single-thread CPU-seconds × nominal frequency\n"
+            f"({mhz:,.0f} MHz median from /proc/cpuinfo at run time);\n"
+            "instruction counts have no proxy and are omitted.\n"
+            "Reference comparables (benchmark_results.txt): items/s\n"
+            "121-128 M/s for varint_rvv and 67-73 M/s scalar on the\n"
+            "uniform distribution; bytes/cycle derived from its\n"
+            "bytes_per_second ÷ the Spacemit X60's 1.6 GHz clock\n"
+            "≈ 0.21-0.24 vectorized, ≈ 0.12 scalar.\n\n"
+            "| distribution | bytes/cycle (proxy) | cycles/int (proxy) "
+            "| Mvalues/s |\n"
+            "|---|---|---|---|\n" + "\n".join(counter_rows) + "\n\n"
+            if counter_rows else "")
+        + "## Kernel iteration history (round 2)\n\n"
         "Four candidate kernels were A/B'd interleaved (min-of-5×3):\n"
         "the active-set kernel (shipped), a cumsum+reduceat kernel\n"
         "(3 full-stream passes, no data-dependent loop), a\n"
