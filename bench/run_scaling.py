@@ -55,9 +55,25 @@ def main() -> None:
     pages = int(sys.argv[1]) if len(sys.argv) > 1 else 40000
     n_low = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     n_high = n_low * 4
+    # whole-ladder repeats: host noise on this box is across-JVM (one
+    # metric dips per run, ±10-40%), so min-of-reps must span separate
+    # JVM runs per config, not just loops inside one JVM
+    runs = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "1"))
     res = {}
     for cpus in (n_low, n_high, 32):
-        res[cpus] = run_at(cpus, pages)
+        best = None
+        for r in range(runs):
+            cur = run_at(cpus, pages)
+            if best is None:
+                best = cur
+            else:  # keep per-metric best pass; sizes are identical
+                for sec, gbps in (("encode_sec", "encode_gbps"),
+                                  ("decode_sec", "decode_gbps"),
+                                  ("encode_shuffle_sec",
+                                   "encode_shuffle_gbps")):
+                    if cur[sec] < best[sec]:
+                        best[sec], best[gbps] = cur[sec], cur[gbps]
+        res[cpus] = best
         print(f"local[{cpus}]: encode {res[cpus]['encode_gbps']} GB/s, "
               f"decode {res[cpus]['decode_gbps']} GB/s")
     lo, hi = res[n_low], res[n_high]
@@ -88,7 +104,9 @@ verify.  Two encode plans are measured: **clustered** (encode_chunks:
 one hash shuffle on chunk_id — the partitioning/salting path the
 north_rule describes) and **scan** (encode_chunks_scan: zero-shuffle
 streaming pass).  Identical input for all runs; separate JVM/process
-per parallelism level; one untimed warm-up pass each.  Sandbox
+per parallelism level; one untimed warm-up pass each; min-of-reps
+inside each JVM × {runs} whole-ladder JVM repeat(s) per config (host
+noise on this box is across-JVM, ±10-40% — see CLAUDE.md).  Sandbox
 substitution for the north_rule's N→4N executor criterion (per driver
 instruction): local[{n_low}] vs local[{n_high}].
 

@@ -108,3 +108,17 @@ def test_scan_resume_skip_is_broadcast_join_no_shuffle(spark, pages):
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert plan.count("Exchange") == plan.count("BroadcastExchange")
+
+
+def test_embeddings_roundtrip_has_exactly_one_shuffle(spark):
+    """Array-column round-trip keeps the one-Exchange shape of the
+    other rt_* queries (encode repartition only; contiguous decode)."""
+    from varint_rvv_spark.operators.decode import decode_table
+    from varint_rvv_spark.operators.encode import encode_chunks
+    from varint_rvv_spark.queries import TABLE_SCHEMAS
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    chunks = encode_chunks(df, key_cols=["vec_id"], num_chunks=4)
+    out = decode_table(chunks, df.columns, TABLE_SCHEMAS["embeddings"],
+                       contiguous=True)
+    assert plan_of(out).count("Exchange") == 1

