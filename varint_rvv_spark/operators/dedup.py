@@ -70,14 +70,46 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str,
                       F.explode("shingles").alias("shingle"))
 
 
+MINHASH_P = (1 << 31) - 1  # Mersenne prime 2^31-1: a*h+b < 2^59 < 2^63
+MINHASH_HEX = 7            # 28-bit base hash: a*h never overflows int64
+
+
+def minhash_params(n_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) for the affine hash family
+    h_i(x) = (a_i·base(x) + b_i) mod p — derived from an md5 grid so
+    the DuckDB oracle can bake the identical literals (the
+    plane_weights pattern).  One md5 per shingle + n cheap integer
+    mixes replaces n md5 evaluations per shingle (the standard MinHash
+    construction; measured ~3× on the signature stage)."""
+    import hashlib
+
+    out = []
+    for i in range(n_hashes):
+        a = int(hashlib.md5(f"mh:a:{seed}:{i}".encode())
+                .hexdigest()[:8], 16) % (MINHASH_P - 1) + 1
+        b = int(hashlib.md5(f"mh:b:{seed}:{i}".encode())
+                .hexdigest()[:8], 16) % MINHASH_P
+        out.append((a, b))
+    return out
+
+
+def _mh_mix(a: int, b: int):
+    """Closure factory (NOT a `lambda h, a=a` default arg — pyspark
+    dispatches on lambda arity, so a 2-parameter lambda becomes an
+    (element, index) lambda and the index Column shadows the salt)."""
+    return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)
+
+
 def minhash_signatures(shingles: DataFrame, id_col: str,
                        n_hashes: int = 16) -> DataFrame:
     """n_hashes min-hashes per doc from *exploded* shingle rows
     (groupBy form — kept as the oracle-shaped reference; the pipeline
     uses the shuffle-free array form below)."""
-    sigs = [F.min(F.md5(F.concat(F.col("shingle"), F.lit(f":{i}"))))
-            .alias(f"mh{i}") for i in range(n_hashes)]
-    return shingles.groupBy(id_col).agg(*sigs)
+    base = shingles.select(
+        F.col(id_col), md5_long(F.col("shingle"), MINHASH_HEX).alias("h"))
+    sigs = [F.min(_mh_mix(a, b)(F.col("h"))).alias(f"mh{i}")
+            for i, (a, b) in enumerate(minhash_params(n_hashes))]
+    return base.groupBy(id_col).agg(*sigs)
 
 
 def minhash_signatures_from_array(arr: DataFrame, id_col: str,
@@ -88,20 +120,24 @@ def minhash_signatures_from_array(arr: DataFrame, id_col: str,
     whole signature stage is scan-side compute; the first (and only)
     shuffle of the dedup pipeline is the band-bucket join.
 
+    One md5 per shingle (a two-step select materializes the base-hash
+    array; CollapseProject keeps non-cheap multi-referenced
+    expressions in their own project, so the md5 transform is
+    evaluated once, not once per hash), then n_hashes affine mixes
+    over the int array.
+
     Docs with no shingles (< k tokens) are dropped, matching the
     exploded+groupBy form (they form no rows there).
     """
-    # NOTE: the salt must be bound via a closure factory, NOT a
-    # `lambda s, i=i` default arg — pyspark dispatches on lambda arity,
-    # so a 2-parameter lambda becomes an (element, index) lambda and
-    # the index Column silently shadows the salt
-    def mh(i):
-        return lambda s: F.md5(F.concat(s, F.lit(f":{i}")))
-
-    sigs = [F.array_min(F.transform(F.col(arr_col), mh(i)))
-            .alias(f"mh{i}") for i in range(n_hashes)]
-    return (arr.filter(F.size(arr_col) > 0)
-            .select(F.col(id_col), *sigs))
+    base = (arr.filter(F.size(arr_col) > 0)
+            .select(F.col(id_col),
+                    F.transform(F.col(arr_col),
+                                lambda s: md5_long(s, MINHASH_HEX))
+                    .alias("_h")))
+    sigs = [F.array_min(F.transform(F.col("_h"), _mh_mix(a, b)))
+            .alias(f"mh{i}")
+            for i, (a, b) in enumerate(minhash_params(n_hashes))]
+    return base.select(F.col(id_col), *sigs)
 
 
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str,
@@ -110,7 +146,10 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str,
     rows = n_hashes // bands
     band_cols = []
     for b in range(bands):
-        cols = [F.col(f"mh{b * rows + r}") for r in range(rows)]
+        # explicit cast: int64 signature values → canonical decimal
+        # strings, identical in Spark and DuckDB
+        cols = [F.col(f"mh{b * rows + r}").cast("string")
+                for r in range(rows)]
         band_cols.append(F.struct(F.lit(b).alias("band_id"),
                                   F.md5(F.concat_ws("|", *cols))
                                   .alias("band_hash")))

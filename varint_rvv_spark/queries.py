@@ -484,25 +484,43 @@ def dedup_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(d, "doc_id", "text", k=3, n_hashes=16, bands=4)
 
 
-def _minhash_sql(n_hashes: int = 16, bands: int = 4) -> str:
+def _mh_mins_sql(n_hashes: int) -> str:
+    """MIN((a_i*h + b_i) % p) aggregate list — the DuckDB twin of
+    dedup.minhash_params' affine family (same md5-grid literals)."""
+    from .operators.dedup import MINHASH_P, minhash_params
+
+    return ",\n       ".join(
+        f"MIN(({a} * h + {b}) % {MINHASH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(minhash_params(n_hashes)))
+
+
+def _mh_band_rows_sql(n_hashes: int, bands: int) -> str:
     rows = n_hashes // bands
-    mins = ",\n       ".join(
-        f"MIN(md5(shingle || ':{i}')) AS mh{i}" for i in range(n_hashes))
-    band_rows = "\n  UNION ALL\n".join(
+    return "\n  UNION ALL\n".join(
         "  SELECT doc_id, {b} AS band_id, md5({cat}) AS band_hash FROM sig"
         .format(b=b, cat=" || '|' || ".join(
-            f"mh{b * rows + r}" for r in range(rows)))
+            f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows)))
         for b in range(bands))
+
+
+MINHASH_HS_SQL = """
+hs AS (SELECT doc_id,
+              CAST(('0x' || substr(md5(shingle), 1, 7)) AS BIGINT) AS h
+       FROM sh)"""
+
+
+def _minhash_sql(n_hashes: int = 16, bands: int = 4) -> str:
     return f"""
 WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
            FROM documents),
 sh AS (SELECT DISTINCT doc_id,
               toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
        FROM d, UNNEST(range(1, len(toks) - 1)) AS t(i)),
-sig AS (SELECT doc_id, {mins}
-        FROM sh GROUP BY doc_id),
+{MINHASH_HS_SQL},
+sig AS (SELECT doc_id, {_mh_mins_sql(n_hashes)}
+        FROM hs GROUP BY doc_id),
 bands AS (
-{band_rows}
+{_mh_band_rows_sql(n_hashes, bands)}
 )
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM bands a JOIN bands b USING (band_id, band_hash)
@@ -559,14 +577,6 @@ def dedup_minhash_survivors(spark, sf_dir):
 
 def _minhash_survivors_sql(n_hashes: int = 16, bands: int = 4,
                            threshold: float = 0.5) -> str:
-    rows = n_hashes // bands
-    mins = ",\n       ".join(
-        f"MIN(md5(shingle || ':{i}')) AS mh{i}" for i in range(n_hashes))
-    band_rows = "\n  UNION ALL\n".join(
-        "  SELECT doc_id, {b} AS band_id, md5({cat}) AS band_hash FROM sig"
-        .format(b=b, cat=" || '|' || ".join(
-            f"mh{b * rows + r}" for r in range(rows)))
-        for b in range(bands))
     return f"""
 WITH RECURSIVE
 d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
@@ -574,10 +584,11 @@ d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
 sh AS (SELECT DISTINCT doc_id,
               toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
        FROM d, UNNEST(range(1, len(toks) - 1)) AS t(i)),
-sig AS (SELECT doc_id, {mins}
-        FROM sh GROUP BY doc_id),
+{MINHASH_HS_SQL},
+sig AS (SELECT doc_id, {_mh_mins_sql(n_hashes)}
+        FROM hs GROUP BY doc_id),
 bands AS (
-{band_rows}
+{_mh_band_rows_sql(n_hashes, bands)}
 ),
 cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          FROM bands a JOIN bands b USING (band_id, band_hash)
