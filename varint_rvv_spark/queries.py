@@ -31,7 +31,8 @@ TABLE_SCHEMAS = {
                 "l_shipdate timestamp",
     "embeddings": "vec_id long, embedding array<float>, label int",
     "orders_dates": "o_orderkey long, o_orderstatus string, "
-                    "o_totalprice double, o_date date, is_urgent boolean",
+                    "o_totalprice double, o_date date, is_urgent boolean, "
+                    "o_key_dec decimal(18,2)",
 }
 
 
@@ -172,14 +173,19 @@ FROM embeddings GROUP BY label
 
 
 def rt_orders_dates(spark, sf_dir):
-    """DATE + BOOLEAN column round-trip: derive a date32 column (day
-    numbers → delta/varint) and a boolean flag (uint8 → bitpack/RLE)
-    from orders, push both through encode → decode, aggregate."""
+    """DATE + BOOLEAN + DECIMAL column round-trip: derive a date32
+    column (day numbers → delta/varint), a boolean flag (uint8 →
+    bitpack/RLE) and a decimal(18,2) column (unscaled int64 → integer
+    codec stack) from orders, push all three through encode → decode,
+    aggregate.  The decimal derives from o_orderkey (integer-valued),
+    so Spark and DuckDB agree bit-exactly with no rounding-mode risk."""
     df = (_t(spark, sf_dir, "orders")
           .select("o_orderkey", "o_orderstatus", "o_totalprice",
                   F.col("o_orderdate").cast("date").alias("o_date"),
                   (F.col("o_orderpriority") == "1-URGENT")
-                  .alias("is_urgent")))
+                  .alias("is_urgent"),
+                  F.col("o_orderkey").cast("decimal(18,2)")
+                  .alias("o_key_dec")))
     chunks = encode_chunks(df, key_cols=["o_orderkey"], num_chunks=8)
     d = decode_table(chunks, df.columns, TABLE_SCHEMAS["orders_dates"],
                      contiguous=True)
@@ -188,7 +194,8 @@ def rt_orders_dates(spark, sf_dir):
                  F.min(F.col("o_date").cast("string")).alias("min_date"),
                  F.max(F.col("o_date").cast("string")).alias("max_date"),
                  F.sum(F.col("is_urgent").cast("long")).alias("n_urgent"),
-                 F.round(F.sum("o_totalprice"), 2).alias("sum_price")))
+                 F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+                 F.sum("o_key_dec").cast("double").alias("sum_key_dec")))
 
 
 RT_ORDERS_DATES_SQL = """
@@ -197,7 +204,9 @@ SELECT o_orderstatus, COUNT(*) AS n_orders,
        CAST(MAX(CAST(o_orderdate AS DATE)) AS VARCHAR) AS max_date,
        CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
             AS BIGINT) AS n_urgent,
-       ROUND(SUM(o_totalprice), 2) AS sum_price
+       ROUND(SUM(o_totalprice), 2) AS sum_price,
+       CAST(SUM(CAST(o_orderkey AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_key_dec
 FROM orders GROUP BY o_orderstatus
 """
 
@@ -221,9 +230,20 @@ def footer_agg_events(spark, sf_dir):
         return F.when(F.count(F.lit(1)) == F.count(vsum),
                       F.sum(vsum)).alias(alias)
 
+    vmin = F.get_json_object("stats_json", "$.vmin").cast("long")
+    vmax = F.get_json_object("stats_json", "$.vmax").cast("long")
+
+    def guarded(agg_fn, col, alias):
+        # zone maps are absent on NaN-poisoned/varlen chunks — MIN/MAX
+        # over a partial set would silently lie, so NULL instead
+        return F.when(F.count(F.lit(1)) == F.count(col),
+                      agg_fn(col)).alias(alias)
+
     a = (f.filter(F.col("column") == "event_id")
          .agg(F.sum("n_values").alias("n_events"),
-              guarded_sum("sum_event_ids")))
+              guarded_sum("sum_event_ids"),
+              guarded(F.min, vmin, "min_event_id"),
+              guarded(F.max, vmax, "max_event_id")))
     b = (f.filter(F.col("column") == "user_id")
          .agg(guarded_sum("sum_user_ids")))
     return a.crossJoin(b)
@@ -232,6 +252,8 @@ def footer_agg_events(spark, sf_dir):
 FOOTER_AGG_SQL = """
 SELECT COUNT(*) AS n_events,
        CAST(SUM(event_id) AS BIGINT) AS sum_event_ids,
+       MIN(event_id) AS min_event_id,
+       MAX(event_id) AS max_event_id,
        CAST(SUM(user_id) AS BIGINT) AS sum_user_ids
 FROM events
 """
