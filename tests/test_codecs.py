@@ -375,3 +375,69 @@ def test_arrow_bridge_rejects_wide_decimal_and_null_elements():
     with pytest.raises(TypeError, match="null list elements"):
         arrow_to_values(pa.array([[1.0, None]],
                                  type=pa.list_(pa.float32())))
+
+
+def test_struct_and_map_roundtrip_all_shapes():
+    import pyarrow as pa
+
+    from varint_rvv_spark.operators.arrow_bridge import (
+        arrow_to_values,
+        values_sha256,
+        values_to_arrow,
+    )
+
+    cases = [
+        pa.array([{"a": i, "b": i * 0.5} for i in range(200)],
+                 type=pa.struct([("a", pa.int64()), ("b", pa.float64())])),
+        pa.array([{"a": 1, "b": 2.5}, None, {"a": None, "b": 3.0}],
+                 type=pa.struct([("a", pa.int64()), ("b", pa.float64())])),
+        # struct-of-list + string child (recursive decomposition)
+        pa.array([{"v": [1.0, 2.0], "s": "x"}, {"v": [], "s": None}],
+                 type=pa.struct([("v", pa.list_(pa.float32())),
+                                 ("s", pa.string())])),
+        pa.array([{"k": "1"}, None, {}, {"a": "9", "b": "8"}],
+                 type=pa.map_(pa.string(), pa.string())),
+        pa.array([{"x": 7}, {"y": 8, "z": 9}],
+                 type=pa.map_(pa.string(), pa.int64())),
+    ]
+    for arr in cases:
+        v, dt, logical, validity = arrow_to_values(arr)
+        blob, codec_id, _ = C.encode_auto(v, dt)
+        assert codec_id in (B.STRUCT, B.MAP)
+        back_vals = B.decode_values(blob)
+        assert values_sha256(back_vals, dt) == values_sha256(v, dt)
+        back = values_to_arrow(back_vals, dt, logical, validity)
+        assert back.to_pylist() == arr.to_pylist(), arr.type
+
+
+def test_struct_field_streams_compress_independently():
+    """A struct of (sorted ids, constant flag) must compress both
+    field streams with their own codecs — not a row-wise blob."""
+    import pyarrow as pa
+
+    from varint_rvv_spark.operators.arrow_bridge import arrow_to_values
+
+    arr = pa.array([{"id": 1000 + i, "flag": 1} for i in range(5000)],
+                   type=pa.struct([("id", pa.int64()),
+                                   ("flag", pa.int64())]))
+    v, dt, _, _ = arrow_to_values(arr)
+    blob, _, _ = C.encode_auto(v, dt)
+    assert len(blob) < 5000 * 2  # delta-varint ids + RLE/bitpack flag
+
+
+def test_nested_malformed_payloads_raise():
+    import pyarrow as pa
+    import pytest
+
+    from varint_rvv_spark.operators.arrow_bridge import arrow_to_values
+
+    arr = pa.array([{"a": 1}], type=pa.struct([("a", pa.int64())]))
+    v, dt, _, _ = arrow_to_values(arr)
+    blob = B.encode_blob(B.STRUCT, dt, v)
+    with pytest.raises(Exception):
+        B.decode_values(blob[:12])  # truncated
+    # header n_values lie → field length mismatch
+    bad = bytearray(blob)
+    B.HEADER.pack_into(bad, 0, B.STRUCT, dt, 7)
+    with pytest.raises(ValueError, match="length mismatch"):
+        B.decode_values(bytes(bad))

@@ -52,6 +52,10 @@ from . import lists as _lists  # noqa: E402
 
 _lists.register_all()
 
+from . import nested as _nested  # noqa: E402
+
+_nested.register_all()
+
 from . import scaled as _scaled  # noqa: E402
 
 _scaled.register_all()

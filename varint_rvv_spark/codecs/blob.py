@@ -42,11 +42,14 @@ FSST = 7
 SCALED = 8
 SPLIT = 9
 LIST = 10
+STRUCT = 11
+MAP = 12
 
 CODEC_NAMES = {
     RAW: "raw", VARINT: "varint", DELTA_VARINT: "delta_varint",
     DICT: "dict", RLE: "rle", BITPACK: "bitpack", ZSTD: "zstd",
     FSST: "fsst", SCALED: "scaled", SPLIT: "split", LIST: "list",
+    STRUCT: "struct", MAP: "map",
 }
 CODEC_IDS = {v: k for k, v in CODEC_NAMES.items()}
 
@@ -61,6 +64,8 @@ DT_STR = 7   # utf-8 varlen
 DT_BIN = 8   # raw-bytes varlen
 DT_U8 = 9    # bytes / booleans (bitpack & RLE shine here)
 DT_LIST = 10  # list<numeric> — ListValues container
+DT_STRUCT = 11  # struct<...> — StructValues container (per-field streams)
+DT_MAP = 12     # map<k,v> — MapValues container (lengths + two streams)
 
 NUMERIC_NP = {
     DT_U32: np.dtype("<u4"), DT_U64: np.dtype("<u8"),
@@ -71,7 +76,7 @@ NUMERIC_NP = {
 DTYPE_NAMES = {
     DT_U32: "u32", DT_U64: "u64", DT_I32: "i32", DT_I64: "i64",
     DT_F32: "f32", DT_F64: "f64", DT_STR: "str", DT_BIN: "bin",
-    DT_U8: "u8", DT_LIST: "list",
+    DT_U8: "u8", DT_LIST: "list", DT_STRUCT: "struct", DT_MAP: "map",
 }
 
 
@@ -81,6 +86,67 @@ def is_varlen(dtype_code: int) -> bool:
 
 def is_list(dtype_code: int) -> bool:
     return dtype_code == DT_LIST
+
+
+def is_nested(dtype_code: int) -> bool:
+    return dtype_code in (DT_LIST, DT_STRUCT, DT_MAP)
+
+
+@dataclass
+class ChildCol:
+    """A recursively-converted child column: everything the codec
+    stack needs to encode it and the bridge needs to rebuild its
+    exact Arrow type (the nested twin of the footer's logical_type
+    and validity columns)."""
+
+    values: object      # numpy / VarlenArray / nested container
+    dtype_code: int
+    logical: str
+    validity: bytes
+
+    @property
+    def nbytes(self) -> int:
+        from ..operators.arrow_bridge import raw_nbytes
+
+        return raw_nbytes(self.values, self.dtype_code)
+
+
+@dataclass
+class StructValues:
+    """struct<...> column decomposed into independent per-field
+    streams — each field routes through its own best codec."""
+
+    names: list
+    children: list  # list[ChildCol], aligned with names
+    n: int
+
+    def __len__(self) -> int:
+        return self.n
+
+    @property
+    def nbytes(self) -> int:
+        return int(sum(c.nbytes for c in self.children))
+
+
+@dataclass
+class MapValues:
+    """map<k,v> column: Arrow map layout — per-row entry counts plus
+    flattened key and item streams."""
+
+    offsets: np.ndarray  # int64[n+1]
+    keys: "ChildCol"
+    items: "ChildCol"
+
+    def __len__(self) -> int:
+        return self.offsets.shape[0] - 1
+
+    @property
+    def nbytes(self) -> int:
+        return int(self.offsets.shape[0] * 8 + self.keys.nbytes
+                   + self.items.nbytes)
+
+    def lengths(self) -> np.ndarray:
+        return np.diff(self.offsets)
 
 
 @dataclass

@@ -59,10 +59,10 @@ def column_stats(values, dtype_code: int) -> dict:
 
     n = len(values)
     stats = {"n": n}
-    if B.is_list(dtype_code):
-        # list columns: the child/length streams are auto-selected
-        # inside the LIST codec; only shape stats are useful here
-        if n:
+    if B.is_nested(dtype_code):
+        # nested columns: the child/length streams are auto-selected
+        # inside the LIST/STRUCT/MAP codecs; only shape stats here
+        if n and hasattr(values, "lengths"):
             stats["avg_len"] = float(values.lengths().mean())
             stats["child_n"] = int(values.offsets[-1])
         return stats
@@ -128,8 +128,10 @@ def _trial_size(codec_id: int, sample, dtype_code: int, scale: float) -> float:
 
 def select_codec(values, dtype_code: int, stats: dict | None = None) -> int:
     """Pick a codec id for one column chunk."""
-    if B.is_list(dtype_code):
-        return B.LIST  # container codec; child streams auto-select inside
+    if B.is_nested(dtype_code):
+        # container codecs; child streams auto-select inside
+        return {B.DT_LIST: B.LIST, B.DT_STRUCT: B.STRUCT,
+                B.DT_MAP: B.MAP}[dtype_code]
     n = len(values)
     if n == 0:
         return B.RAW

@@ -30,6 +30,8 @@ LT_DATE32 = "date32"     # stored as int32 day numbers → delta/varint
 LT_BOOL = "bool"         # stored as uint8 0/1 → RLE/bitpack
 LT_DECIMAL = "decimal"   # "decimal:p:s", unscaled int64 (p ≤ 18)
 LT_LIST = "list"         # "list:<child arrow type name>"
+LT_STRUCT = "struct"     # children carry their own logical tags
+LT_MAP = "map"           # key/item streams carry their own tags
 
 _NARROW_PA = {"int8": pa.int8(), "int16": pa.int16(),
               "uint8": pa.uint8(), "uint16": pa.uint16()}
@@ -41,6 +43,68 @@ _LIST_CHILD_CODES = {
     pa.float32(): B.DT_F32, pa.float64(): B.DT_F64,
 }
 _LIST_CHILD_PA = {v: k for k, v in _LIST_CHILD_CODES.items()}
+
+
+def _validity_of(arr: pa.Array) -> bytes:
+    if not arr.null_count:
+        return b""
+    mask = arr.is_valid().to_numpy(zero_copy_only=False).astype(bool)
+    return np.packbits(mask.view(np.uint8), bitorder="little").tobytes()
+
+
+def _struct_to_values(arr: pa.StructArray):
+    """struct<...> → per-field ChildCol streams (recursive).  Parent
+    validity rides the usual footer bitmap; Arrow struct children are
+    fully materialized under null parents, so no fill is needed."""
+    validity = _validity_of(arr)
+    names, children = [], []
+    for i in range(arr.type.num_fields):
+        names.append(arr.type.field(i).name)
+        v, dt, logical, cv = arrow_to_values(arr.field(i))
+        children.append(B.ChildCol(values=v, dtype_code=dt,
+                                   logical=logical, validity=cv))
+    sv = B.StructValues(names=names, children=children, n=len(arr))
+    return sv, B.DT_STRUCT, LT_STRUCT, validity
+
+
+def _map_to_values(arr: pa.MapArray):
+    """map<k,v> → per-row entry counts + flattened key/item streams.
+
+    Null rows keep their validity bitmap; if a writer gave a null row
+    a nonzero entry range (legal in Arrow), the entries are compacted
+    out so decode's zero-length reconstruction is exact.
+    """
+    validity = _validity_of(arr)
+    raw_off = np.asarray(arr.offsets.to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+    base = int(raw_off[0])
+    offsets = (raw_off - base).astype(np.int64)
+    n = len(arr)
+    keys = arr.keys.slice(base, int(offsets[-1]))
+    items = arr.items.slice(base, int(offsets[-1]))
+    if validity:
+        valid = np.unpackbits(np.frombuffer(validity, dtype=np.uint8),
+                              count=n, bitorder="little").astype(bool)
+        lens = np.diff(offsets)
+        if (lens[~valid] != 0).any():
+            lens = lens.copy()
+            lens[~valid] = 0
+            new_off = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(lens, out=new_off[1:])
+            row_ids = np.repeat(np.arange(n, dtype=np.int64), lens)
+            within = np.arange(int(new_off[-1]), dtype=np.int64) \
+                - new_off[row_ids]
+            src = offsets[:-1][row_ids] + within
+            keys = keys.take(pa.array(src))
+            items = items.take(pa.array(src))
+            offsets = new_off
+    kv, kdt, klog, kval = arrow_to_values(keys)
+    iv, idt, ilog, ival = arrow_to_values(items)
+    mv_ = B.MapValues(
+        offsets=offsets,
+        keys=B.ChildCol(kv, kdt, klog, kval),
+        items=B.ChildCol(iv, idt, ilog, ival))
+    return mv_, B.DT_MAP, LT_MAP, validity
 
 
 def _list_to_values(arr: pa.Array) -> B.ListValues:
@@ -71,6 +135,10 @@ def arrow_to_values(arr: pa.Array):
     validity_bytes is b"" when there are no nulls, else a
     little-endian packed bitmap (1 = valid).
     """
+    if pa.types.is_struct(arr.type):
+        return _struct_to_values(arr)   # manages its own validity
+    if pa.types.is_map(arr.type):
+        return _map_to_values(arr)      # manages its own validity
     if pa.types.is_fixed_size_list(arr.type):
         # a null fixed-size row cannot be filled with [] — widen to a
         # variable-length list first (metadata-level cast)
@@ -155,6 +223,10 @@ def _null_fill(t: pa.DataType):
 def values_to_arrow(values, dtype_code: int, logical: str,
                     validity: bytes) -> pa.Array:
     """Inverse of arrow_to_values (bit-identical reconstruction)."""
+    if dtype_code == B.DT_STRUCT:
+        return _values_to_struct_arrow(values, validity)
+    if dtype_code == B.DT_MAP:
+        return _values_to_map_arrow(values, validity)
     if B.is_list(dtype_code):
         return _values_to_list_arrow(values, logical, validity)
     if B.is_varlen(dtype_code):
@@ -209,6 +281,52 @@ def _values_to_list_arrow(values: "B.ListValues", logical: str,
     return arr.cast(pa.list_(child_type))
 
 
+def _narrow(arr: pa.Array) -> pa.Array:
+    """large_string/large_binary → string/binary (Spark's arrow types)
+    for nested children."""
+    if pa.types.is_large_string(arr.type):
+        return arr.cast(pa.string())
+    if pa.types.is_large_binary(arr.type):
+        return arr.cast(pa.binary())
+    return arr
+
+
+def _unpack_validity(validity: bytes, n: int) -> np.ndarray:
+    return np.unpackbits(np.frombuffer(validity, dtype=np.uint8),
+                         count=n, bitorder="little").astype(bool)
+
+
+def _values_to_struct_arrow(sv: "B.StructValues",
+                            validity: bytes) -> pa.Array:
+    children = [_narrow(values_to_arrow(c.values, c.dtype_code,
+                                        c.logical, c.validity))
+                for c in sv.children]
+    mask = None
+    if validity:
+        mask = pa.array(~_unpack_validity(validity, sv.n))
+    return pa.StructArray.from_arrays(children, names=sv.names,
+                                      mask=mask)
+
+
+def _values_to_map_arrow(mv_: "B.MapValues", validity: bytes) -> pa.Array:
+    keys = _narrow(values_to_arrow(mv_.keys.values, mv_.keys.dtype_code,
+                                   mv_.keys.logical, mv_.keys.validity))
+    items = _narrow(values_to_arrow(
+        mv_.items.values, mv_.items.dtype_code,
+        mv_.items.logical, mv_.items.validity))
+    n = len(mv_)
+    off = np.ascontiguousarray(mv_.offsets, dtype=np.int32)
+    if validity:
+        # a null offset slot marks the row null (Arrow list/map rule;
+        # the final slot is never null)
+        mask = np.zeros(n + 1, dtype=bool)
+        mask[:n] = ~_unpack_validity(validity, n)
+        off_arr = pa.array(off, mask=mask)
+    else:
+        off_arr = pa.array(off)
+    return pa.MapArray.from_arrays(off_arr, keys, items)
+
+
 def _int64_to_decimal(values: np.ndarray, precision: int,
                       scale: int) -> pa.Array:
     """Unscaled int64 → decimal128(p, s), bit-exact (two's-complement
@@ -223,7 +341,7 @@ def _int64_to_decimal(values: np.ndarray, precision: int,
 
 
 def raw_nbytes(values, dtype_code: int) -> int:
-    if B.is_varlen(dtype_code) or B.is_list(dtype_code):
+    if B.is_varlen(dtype_code) or B.is_nested(dtype_code):
         return int(values.nbytes)
     return int(np.ascontiguousarray(values).nbytes)
 
@@ -238,6 +356,18 @@ def values_sha256(values, dtype_code: int) -> str:
     if B.is_varlen(dtype_code):
         h.update(np.ascontiguousarray(values.lengths(), dtype="<i8").data)
         h.update(np.ascontiguousarray(values.data).data)
+    elif dtype_code == B.DT_STRUCT:
+        for name, c in zip(values.names, values.children):
+            h.update(name.encode("utf-8"))
+            h.update(bytes([c.dtype_code]))
+            h.update(c.validity)
+            h.update(values_sha256(c.values, c.dtype_code).encode())
+    elif dtype_code == B.DT_MAP:
+        h.update(np.ascontiguousarray(values.lengths(), dtype="<i8").data)
+        for c in (values.keys, values.items):
+            h.update(bytes([c.dtype_code]))
+            h.update(c.validity)
+            h.update(values_sha256(c.values, c.dtype_code).encode())
     elif B.is_list(dtype_code):
         h.update(np.ascontiguousarray(values.lengths(), dtype="<i8").data)
         h.update(bytes([values.child_dtype]))

@@ -23,8 +23,10 @@ VERIFY_SCHEMA = ("chunk_id long, column string, n_values long, "
 def _mismatch_samples(values, dt, stats: dict, n_expected: int) -> list:
     """First ≤10 (index, expected, got) triples from the encode-time
     head/tail witness samples (reference example.c:154-168 twin)."""
-    if B.is_varlen(dt) or B.is_list(dt):
+    if B.is_varlen(dt) or dt in (B.DT_LIST, B.DT_MAP):
         got_vals = [int(x) for x in values.lengths()]
+    elif dt not in B.NUMERIC_NP:
+        return []  # struct: no row-level witness representation
     else:
         kind = B.NUMERIC_NP[dt].kind
         cast = float if kind == "f" else int

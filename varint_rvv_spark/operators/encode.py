@@ -84,10 +84,12 @@ def _append_column_row(rows: dict, chunk_id: int, col: str, arr,
     # reference example's first-10-mismatches diagnostic
     # (/root/reference/example/example.c:154-168)
     if len(values):
-        if B.is_varlen(dt) or B.is_list(dt):
+        if B.is_varlen(dt) or dt in (B.DT_LIST, B.DT_MAP):
             lens = values.lengths()
             out_stats["head"] = [int(x) for x in lens[:10]]
             out_stats["tail"] = [int(x) for x in lens[-10:]]
+        elif dt not in B.NUMERIC_NP:
+            pass  # struct: per-field witnesses live in child streams
         else:
             kind = B.NUMERIC_NP[dt].kind
             if kind == "f":

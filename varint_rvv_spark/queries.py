@@ -211,6 +211,43 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+def rt_events_struct_map(spark, sf_dir):
+    """STRUCT + MAP column round-trip: derive a struct<uid,val> and a
+    map<string,string> (parsed from the JSON props) from events, push
+    both through encode → decode (per-field streams via the STRUCT/MAP
+    codecs), and aggregate fields extracted from the decoded nested
+    columns.  Equality with the flat-column oracle proves the nested
+    decomposition reconstructs bit-exactly."""
+    e = _t(spark, sf_dir, "events")
+    df = e.select(
+        "event_id",
+        F.struct(F.col("user_id").alias("uid"),
+                 F.col("value").alias("val")).alias("uv"),
+        F.from_json("props", "map<string,string>").alias("props_map"))
+    schema = ("event_id long, uv struct<uid:long,val:double>, "
+              "props_map map<string,string>")
+    chunks = encode_chunks(df, key_cols=["event_id"], num_chunks=8)
+    d = decode_table(chunks, df.columns, schema, contiguous=True)
+    return d.agg(
+        F.count("*").alias("n_events"),
+        F.sum("uv.uid").alias("sum_uid"),
+        F.round(F.sum("uv.val"), 4).alias("sum_val"),
+        F.sum(F.element_at("props_map", "k").cast("long")).alias("sum_k"),
+        F.sum(F.size("props_map")).alias("sum_entries"))
+
+
+RT_EVENTS_STRUCT_MAP_SQL = """
+SELECT COUNT(*) AS n_events,
+       CAST(SUM(user_id) AS BIGINT) AS sum_uid,
+       ROUND(SUM(value), 4) AS sum_val,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k,
+       CAST(SUM(CASE WHEN props IS NULL THEN NULL
+                ELSE len(json_keys(props)) END) AS BIGINT) AS sum_entries
+FROM events
+"""
+
+
 def footer_agg_events(spark, sf_dir):
     """Aggregate pushdown to chunk statistics: COUNT(*)/SUM answered
     from the footer ledger alone — zero payload decode (the engine
@@ -1553,6 +1590,7 @@ QUERIES = {
     "rt_events_pruned": rt_events_pruned,
     "rt_embeddings_roundtrip": rt_embeddings_roundtrip,
     "rt_orders_dates": rt_orders_dates,
+    "rt_events_struct_map": rt_events_struct_map,
     "footer_agg_events": footer_agg_events,
     "rt_documents_forced_codecs": rt_documents_forced_codecs,
     "rt_events_forced_float_codecs": rt_events_forced_float_codecs,
@@ -1599,6 +1637,7 @@ ORACLES = {
     "rt_events_pruned": RT_EVENTS_PRUNED_SQL,
     "rt_embeddings_roundtrip": RT_EMBEDDINGS_SQL,
     "rt_orders_dates": RT_ORDERS_DATES_SQL,
+    "rt_events_struct_map": RT_EVENTS_STRUCT_MAP_SQL,
     "footer_agg_events": FOOTER_AGG_SQL,
     "rt_documents_forced_codecs": RT_FORCED_CODECS_SQL,
     "rt_events_forced_float_codecs": RT_FORCED_FLOAT_SQL,
