@@ -43,7 +43,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _roundtrip(spark: SparkSession, sf_dir: str, name: str,
                key: str) -> DataFrame:
     df = _t(spark, sf_dir, name)
-    chunks = encode_chunks(df, key_cols=[key], num_chunks=8)
+    # chunk count scales with the session's parallelism (results are
+    # chunk-count-independent: hash chunking only affects layout, and
+    # the oracles compare aggregates) — 8 chunks would cap the encode
+    # kernel at 8 tasks regardless of cores
+    n = max(int(spark.conf.get("spark.sql.shuffle.partitions", "8")), 8)
+    chunks = encode_chunks(df, key_cols=[key], num_chunks=n)
     # chunks straight out of encode_chunks are chunk-contiguous within
     # each partition stream, so the zero-shuffle decode path is valid:
     # the whole round-trip has exactly one Exchange (the encode shuffle)
