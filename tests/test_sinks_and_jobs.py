@@ -188,3 +188,23 @@ def test_list_column_through_partitioned_sink(spark, tmp_path):
     got = decoded.agg(F.sum("vec_id"), F.count("*")).collect()[0]
     want = df.agg(F.sum("vec_id"), F.count("*")).collect()[0]
     assert tuple(got) == tuple(want)
+
+
+def test_encode_job_cli_scan_mode_with_resume(tmp_path):
+    """spark-submit-shaped scan-mode run + resume: the resume path goes
+    through resume_footer + the layout fingerprint + the broadcast
+    left_anti skip, end to end from the CLI."""
+    out = str(tmp_path / "job_scan_out")
+    cmd = [sys.executable, "jobs/encode_job.py",
+           "--input", "/root/testdata/sf0.001", "--table", "documents",
+           "--output", out, "--mode", "scan", "--master", "local[2]",
+           "--verify"]
+    r1 = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    j1 = json.loads(r1.stdout.strip().splitlines()[-1])
+    assert j1["mismatched_chunks"] == 0 and j1["chunk_rows"] > 0
+    r2 = subprocess.run(cmd + ["--resume"], capture_output=True,
+                        text=True, timeout=300)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    j2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert j2["resumed"] is True and j2["chunk_rows"] == 0

@@ -106,9 +106,9 @@ class ChildCol:
 
     @property
     def nbytes(self) -> int:
-        from ..operators.arrow_bridge import raw_nbytes
-
-        return raw_nbytes(self.values, self.dtype_code)
+        # numpy arrays, VarlenArray and the nested containers all
+        # expose .nbytes with the right semantics
+        return int(self.values.nbytes)
 
 
 @dataclass

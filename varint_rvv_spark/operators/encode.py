@@ -251,6 +251,12 @@ def with_scan_chunk_ids(df: DataFrame,
     lower 33 — no extra JVM⟷Python Arrow crossing (a separate
     mapInArrow pre-pass here measured ~20% off single-core scan-encode
     throughput: the whole table would cross the boundary twice).
+
+    Task-retry determinism: Catalyst marks the expression
+    nondeterministic, but for a file-backed scan a retried task
+    re-reads the same split in the same order, so ids are reproducible
+    — the same determinism class as a TaskContext.partitionId kernel,
+    and exactly what scan_layout_fingerprint guards across runs.
     """
     mid = F.monotonically_increasing_id()
     pid = F.shiftright(mid, 33)
