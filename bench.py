@@ -149,7 +149,14 @@ def main() -> None:
     for t in ["region", "nation", "customer", "orders", "lineitem",
               "documents", "events", "embeddings"]:
         spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
-    spark.range(1000).mapInArrow(lambda it: it, "id long").count()
+    # spin every python worker through a real (tiny) encode so the
+    # package + numpy/pyarrow imports happen in the warm-up, not
+    # inside the first rt_* query's number
+    from varint_rvv_spark.operators.encode import encode_chunks_scan
+    from varint_rvv_spark.sources.pages import pages_df
+
+    encode_chunks_scan(pages_df(spark, 4 * CPUS, seed=1,
+                                partitions=CPUS)).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
