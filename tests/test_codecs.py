@@ -441,3 +441,34 @@ def test_nested_malformed_payloads_raise():
     B.HEADER.pack_into(bad, 0, B.STRUCT, dt, 7)
     with pytest.raises(ValueError, match="length mismatch"):
         B.decode_values(bytes(bad))
+
+
+def test_list_varlen_children_roundtrip():
+    """list<string> / list<binary> — token/tag lists — through the
+    LIST codec, incl. inside struct and map containers."""
+    import pyarrow as pa
+
+    from varint_rvv_spark.operators.arrow_bridge import (
+        arrow_to_values,
+        values_sha256,
+        values_to_arrow,
+    )
+
+    cases = [
+        pa.array([["the", "quick", "fox"], None, [], ["a"]],
+                 type=pa.list_(pa.string())),
+        pa.array([[b"\x00\xff", b""], [b"x"]],
+                 type=pa.list_(pa.binary())),
+        pa.array([{"toks": ["a", "b"], "n": 2}, {"toks": [], "n": 0}],
+                 type=pa.struct([("toks", pa.list_(pa.string())),
+                                 ("n", pa.int64())])),
+        pa.array([{"e": [1.0, 2.0]}, {}],
+                 type=pa.map_(pa.string(), pa.list_(pa.float32()))),
+    ]
+    for arr in cases:
+        v, dt, logical, validity = arrow_to_values(arr)
+        blob, _, _ = C.encode_auto(v, dt)
+        back_vals = B.decode_values(blob)
+        assert values_sha256(back_vals, dt) == values_sha256(v, dt)
+        back = values_to_arrow(back_vals, dt, logical, validity)
+        assert back.to_pylist() == arr.to_pylist(), arr.type

@@ -108,10 +108,16 @@ def _map_to_values(arr: pa.MapArray):
 
 
 def _list_to_values(arr: pa.Array) -> B.ListValues:
-    """list/large_list/fixed_size_list<numeric> → ListValues (flat)."""
+    """list/large_list/fixed_size_list<numeric|string|binary> →
+    ListValues (flattened child stream + offsets)."""
+    from ..codecs.composite import pa_to_varlen
+
     vt = arr.type.value_type
     code = _LIST_CHILD_CODES.get(vt)
-    if code is None:
+    if code is None and not (pa.types.is_string(vt)
+                             or pa.types.is_large_string(vt)
+                             or pa.types.is_binary(vt)
+                             or pa.types.is_large_binary(vt)):
         raise TypeError(f"unsupported list child type {vt}")
     arr = arr.cast(pa.large_list(vt))
     raw_off = arr.offsets.to_numpy(zero_copy_only=False)
@@ -122,9 +128,17 @@ def _list_to_values(arr: pa.Array) -> B.ListValues:
         raise TypeError(
             "null list elements are not supported (null rows are; "
             "fill or drop element-level nulls before encoding)")
-    child_np = child.to_numpy(zero_copy_only=False).astype(
-        B.NUMERIC_NP[code], copy=False)
-    return B.ListValues(offsets=offsets, child=child_np,
+    if code is None:  # varlen child: tokens/tags lists
+        is_str = (pa.types.is_string(vt)
+                  or pa.types.is_large_string(vt))
+        code = B.DT_STR if is_str else B.DT_BIN
+        child_vals = pa_to_varlen(child.combine_chunks()
+                                  if isinstance(child, pa.ChunkedArray)
+                                  else child)
+    else:
+        child_vals = child.to_numpy(zero_copy_only=False).astype(
+            B.NUMERIC_NP[code], copy=False)
+    return B.ListValues(offsets=offsets, child=child_vals,
                         child_dtype=code)
 
 
@@ -265,9 +279,17 @@ def _values_to_list_arrow(values: "B.ListValues", logical: str,
     straight into the list layout's own validity buffer — null rows
     were encoded as empty lists, so offsets stay monotone.
     """
-    child_type = _LIST_CHILD_PA[values.child_dtype]
-    child = pa.array(np.ascontiguousarray(
-        values.child, dtype=B.NUMERIC_NP[values.child_dtype]))
+    if B.is_varlen(values.child_dtype):
+        from ..codecs.composite import varlen_to_pa
+
+        child = varlen_to_pa(values.child).cast(
+            pa.string() if values.child_dtype == B.DT_STR
+            else pa.binary())
+        child_type = child.type
+    else:
+        child_type = _LIST_CHILD_PA[values.child_dtype]
+        child = pa.array(np.ascontiguousarray(
+            values.child, dtype=B.NUMERIC_NP[values.child_dtype]))
     n = len(values)
     bufs = [pa.py_buffer(bytes(validity)) if validity else None,
             pa.py_buffer(np.ascontiguousarray(values.offsets,
@@ -371,8 +393,8 @@ def values_sha256(values, dtype_code: int) -> str:
     elif B.is_list(dtype_code):
         h.update(np.ascontiguousarray(values.lengths(), dtype="<i8").data)
         h.update(bytes([values.child_dtype]))
-        h.update(np.ascontiguousarray(
-            values.child, dtype=B.NUMERIC_NP[values.child_dtype]).data)
+        h.update(values_sha256(values.child,
+                               values.child_dtype).encode())
     else:
         arr = np.ascontiguousarray(values)
         if arr.dtype.byteorder == ">":  # never on this platform, but exact
