@@ -216,6 +216,48 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+def rt_documents_tokens(spark, sf_dir):
+    """list<string> column round-trip: tokenize documents into a token
+    array, push it through encode → decode (LIST codec with a varlen
+    child stream), and aggregate over the decoded arrays."""
+    from .functions import md5_long, tokens
+
+    d = _t(spark, sf_dir, "documents")
+    df = d.select("doc_id", "lang", tokens("text").alias("toks"),
+                  F.length(F.trim("text")).alias("trim_len"))
+    schema = ("doc_id long, lang string, toks array<string>, "
+              "trim_len int")
+    chunks = encode_chunks(df, key_cols=["doc_id"], num_chunks=8)
+    dec = decode_table(chunks, df.columns, schema, contiguous=True)
+    n_toks = F.when(F.col("trim_len") == 0, 0).otherwise(F.size("toks"))
+    first_tok_h = F.when(F.col("trim_len") == 0, None).otherwise(
+        md5_long(F.element_at("toks", 1), 8))
+    return (dec.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(n_toks).alias("sum_tokens"),
+                 F.max(n_toks).alias("max_tokens"),
+                 F.sum(first_tok_h).alias("sum_first_tok_hash")))
+
+
+RT_DOCUMENTS_TOKENS_SQL = r"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END
+           AS n_toks,
+         CASE WHEN length(trim(text)) = 0 THEN NULL
+              ELSE CAST(('0x' || substr(md5(
+                     string_split_regex(trim(text), '\s+')[1]), 1, 8))
+                   AS BIGINT) END AS first_h
+  FROM documents)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS sum_tokens,
+       MAX(n_toks) AS max_tokens,
+       CAST(SUM(first_h) AS BIGINT) AS sum_first_tok_hash
+FROM t GROUP BY lang
+"""
+
+
 def rt_events_struct_map(spark, sf_dir):
     """STRUCT + MAP column round-trip: derive a struct<uid,val> and a
     map<string,string> (parsed from the JSON props) from events, push
@@ -1596,6 +1638,7 @@ QUERIES = {
     "rt_embeddings_roundtrip": rt_embeddings_roundtrip,
     "rt_orders_dates": rt_orders_dates,
     "rt_events_struct_map": rt_events_struct_map,
+    "rt_documents_tokens": rt_documents_tokens,
     "footer_agg_events": footer_agg_events,
     "rt_documents_forced_codecs": rt_documents_forced_codecs,
     "rt_events_forced_float_codecs": rt_events_forced_float_codecs,
@@ -1643,6 +1686,7 @@ ORACLES = {
     "rt_embeddings_roundtrip": RT_EMBEDDINGS_SQL,
     "rt_orders_dates": RT_ORDERS_DATES_SQL,
     "rt_events_struct_map": RT_EVENTS_STRUCT_MAP_SQL,
+    "rt_documents_tokens": RT_DOCUMENTS_TOKENS_SQL,
     "footer_agg_events": FOOTER_AGG_SQL,
     "rt_documents_forced_codecs": RT_FORCED_CODECS_SQL,
     "rt_events_forced_float_codecs": RT_FORCED_FLOAT_SQL,
