@@ -310,3 +310,31 @@ def test_hyperplane_dim_mismatch_raises(spark):
     with pytest.raises((Py4JJavaError, Exception)) as exc:
         hyperplane_signs(df, "embedding", n_planes=4, dim=8).collect()
     assert "dim" in str(exc.value)
+
+
+def test_cosine_topk_excludes_nan_and_null_embeddings(spark, planted):
+    """Zero-norm and NULL embeddings (padding artifacts) must be
+    excluded from the exact top-k, not ranked first by
+    NaN-sorts-greatest window semantics."""
+    bad = spark.createDataFrame(
+        [(900, [0.0] * 64), (901, None)],
+        "vec_id long, embedding array<float>")
+    corpus = planted.union(bad).repartition(4)
+    probes = planted.filter(F.col("vec_id") < 2)
+    got = cosine_topk(corpus, probes, k=5).collect()
+    ids = {r.vec_id for r in got}
+    assert 900 not in ids and 901 not in ids
+    assert all(r.cosine == r.cosine for r in got)  # no NaN survives
+    assert len(got) == 10  # 5 per probe, unaffected
+
+
+def test_lsh_pipelines_degrade_on_null_embedding(spark, planted):
+    """A NULL embedding row must not abort the LSH pipelines — it
+    degrades to null projections and drops out of thresholded joins;
+    only a wrong-length vector raises."""
+    bad = spark.createDataFrame([(902, None)],
+                                "vec_id long, embedding array<float>")
+    corpus = planted.union(bad)
+    pairs = embedding_neardup_pairs(corpus, threshold=0.95,
+                                    n_planes=4, dim=64).collect()
+    assert all(902 not in (r.id_a, r.id_b) for r in pairs)

@@ -83,8 +83,7 @@ def _map_to_values(arr: pa.MapArray):
     keys = arr.keys.slice(base, int(offsets[-1]))
     items = arr.items.slice(base, int(offsets[-1]))
     if validity:
-        valid = np.unpackbits(np.frombuffer(validity, dtype=np.uint8),
-                              count=n, bitorder="little").astype(bool)
+        valid = _unpack_validity(validity, n)
         lens = np.diff(offsets)
         if (lens[~valid] != 0).any():
             lens = lens.copy()
@@ -157,10 +156,8 @@ def arrow_to_values(arr: pa.Array):
         # a null fixed-size row cannot be filled with [] — widen to a
         # variable-length list first (metadata-level cast)
         arr = arr.cast(pa.large_list(arr.type.value_type))
-    validity = b""
-    if arr.null_count:
-        mask = arr.is_valid().to_numpy(zero_copy_only=False).astype(bool)
-        validity = np.packbits(mask.view(np.uint8), bitorder="little").tobytes()
+    validity = _validity_of(arr)
+    if validity:
         arr = arr.fill_null(_null_fill(arr.type))
     t = arr.type
     logical = LT_PLAIN
@@ -265,8 +262,7 @@ def values_to_arrow(values, dtype_code: int, logical: str,
         arr = _int64_to_decimal(values, int(p), int(s))
     if validity:
         n = len(arr)
-        mask = np.unpackbits(np.frombuffer(validity, dtype=np.uint8),
-                             count=n, bitorder="little").astype(bool)
+        mask = _unpack_validity(validity, n)
         arr = pa.compute.if_else(pa.array(mask), arr, pa.nulls(n, arr.type))
     return arr
 
@@ -296,10 +292,9 @@ def _values_to_list_arrow(values: "B.ListValues", logical: str,
                                               dtype="<i8"))]
     arr = pa.Array.from_buffers(
         pa.large_list(child_type), n, bufs, children=[child])
-    if validity:
-        arr = arr.cast(pa.large_list(child_type))  # normalize null slots
     # Spark's mapInArrow/applyInArrow expect 32-bit-offset list for
-    # ArrayType; exact for any realistic chunk (< 2^31 child values)
+    # ArrayType; the cast is overflow-checked (raises past 2^31 child
+    # values per chunk)
     return arr.cast(pa.list_(child_type))
 
 
@@ -337,6 +332,11 @@ def _values_to_map_arrow(mv_: "B.MapValues", validity: bytes) -> pa.Array:
         mv_.items.values, mv_.items.dtype_code,
         mv_.items.logical, mv_.items.validity))
     n = len(mv_)
+    if int(mv_.offsets[-1]) > np.iinfo(np.int32).max:
+        # Arrow map layout carries int32 offsets; silent wrap would
+        # corrupt every row past the overflow point
+        raise ValueError("map chunk exceeds 2^31 flattened entries; "
+                         "lower rows_per_chunk/num_chunks")
     off = np.ascontiguousarray(mv_.offsets, dtype=np.int32)
     if validity:
         # a null offset slot marks the row null (Arrow list/map rule;

@@ -447,7 +447,9 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
         F.zip_with(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"),
                    lambda x, y: x * y),
         F.lit(0.0), lambda acc, x: acc + x)
-    cos = dot / (F.col("a._norm") * F.col("b._norm"))
+    # try_divide: zero-norm embeddings yield NULL cosine (dropped by
+    # the threshold filter) instead of an ANSI divide-by-zero abort
+    cos = F.try_divide(dot, F.col("a._norm") * F.col("b._norm"))
     if brute_force:
         joined = a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
     else:

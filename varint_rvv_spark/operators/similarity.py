@@ -67,11 +67,18 @@ def cosine_topk_partials(df: DataFrame, probe_df: DataFrame, k: int = 10,
                         F.col(vec_col).alias("probe_vec"))
     joined = df.crossJoin(F.broadcast(p)) \
         .filter(F.col(id_col) != F.col("probe_id"))
-    cos = (_dot(F.col(vec_col), F.col("probe_vec"))
-           / (_norm(F.col(vec_col)) * _norm(F.col("probe_vec"))))
+    cos = F.try_divide(
+        _dot(F.col(vec_col), F.col("probe_vec")),
+        _norm(F.col(vec_col)) * _norm(F.col("probe_vec")))
     id_t = dict(df.dtypes)[id_col]
     scored = joined.select("probe_id", F.col(id_col),
                            F.round(cos, 5).alias("cosine"))
+    # NaN/NULL cosines (zero-norm or NULL embeddings — padding
+    # artifacts) are excluded BEFORE ranking: Spark's window order
+    # treats NaN as the greatest double, which would rank degenerate
+    # vectors first and diverge from the numpy partial ordering
+    scored = scored.filter(F.col("cosine").isNotNull()
+                           & ~F.isnan("cosine"))
     return scored.mapInArrow(
         _local_topk_kernel(k),
         f"probe_id {id_t}, {id_col} {id_t}, cosine double")
@@ -86,7 +93,11 @@ def cosine_topk(df: DataFrame, probe_df: DataFrame, k: int = 10,
     (cosine_topk_partials — only k rows per probe per partition leave
     the scan stage), then the global window ranks the ≤ k × P
     survivors.  At 100 TB the shuffle carries O(k·P) rows instead of
-    funneling the whole corpus through one reducer per probe."""
+    funneling the whole corpus through one reducer per probe.
+
+    Rows whose cosine is NaN/NULL (zero-norm or NULL embeddings) are
+    excluded — they carry no similarity signal and a naive
+    NaN-sorts-greatest window would rank them first."""
     from pyspark.sql.window import Window
 
     part = cosine_topk_partials(df, probe_df, k, id_col, vec_col)
@@ -127,12 +138,17 @@ def hyperplane_projections(df: DataFrame, vec_col: str = "embedding",
     single-bucket join), so a mismatched row raises loudly instead.
     """
     weights = plane_weights(n_planes, dim, seed)
+    # NULL embeddings pass through (their projections fold to NULL and
+    # the rows degrade harmlessly); only a present-but-wrong-length
+    # vector raises
     df = df.withColumn(vec_col, F.when(
-        F.size(F.col(vec_col)) == dim, F.col(vec_col)).otherwise(
+        F.col(vec_col).isNull() | (F.size(F.col(vec_col)) == dim),
+        F.col(vec_col)).otherwise(
         F.raise_error(F.concat(
             F.lit(f"hyperplane_projections: embedding length != dim="
                   f"{dim}; got "),
-            F.size(F.col(vec_col)).cast("string")))))
+            F.coalesce(F.size(F.col(vec_col)).cast("string"),
+                       F.lit("NULL"))))))
     projs = [
         F.aggregate(
             F.zip_with(F.col(vec_col),
@@ -242,8 +258,9 @@ def ivf_assign(df: DataFrame, centroids: DataFrame,
                          F.col(vec_col).alias("centroid_vec"))
     joined = df.crossJoin(F.broadcast(c))
     # cosine distance to centroid (vectors need not be normalized)
-    cos = (_dot(F.col(vec_col), F.col("centroid_vec"))
-           / (_norm(F.col(vec_col)) * _norm(F.col("centroid_vec"))))
+    cos = F.try_divide(
+        _dot(F.col(vec_col), F.col("centroid_vec")),
+        _norm(F.col(vec_col)) * _norm(F.col("centroid_vec")))
     w = Window.partitionBy(id_col).orderBy(F.desc("cos_c"),
                                            F.asc("centroid_id"))
     return (joined.select(id_col, vec_col,
@@ -270,8 +287,9 @@ def ivf_topk(df: DataFrame, probe_df: DataFrame, centroids: DataFrame,
     pj = probe_df.select(F.col(id_col).alias("probe_id"),
                          F.col(vec_col).alias("probe_vec")) \
         .crossJoin(F.broadcast(c))
-    pcos = (_dot(F.col("probe_vec"), F.col("centroid_vec"))
-            / (_norm(F.col("probe_vec")) * _norm(F.col("centroid_vec"))))
+    pcos = F.try_divide(
+        _dot(F.col("probe_vec"), F.col("centroid_vec")),
+        _norm(F.col("probe_vec")) * _norm(F.col("centroid_vec")))
     wp = Window.partitionBy("probe_id").orderBy(F.desc("pcos"),
                                                 F.asc("centroid_id"))
     probes = (pj.select("probe_id", "probe_vec",
@@ -281,8 +299,9 @@ def ivf_topk(df: DataFrame, probe_df: DataFrame, centroids: DataFrame,
               .select("probe_id", "probe_vec", "centroid_id"))
     joined = corpus.join(F.broadcast(probes), "centroid_id") \
         .filter(F.col(id_col) != F.col("probe_id"))
-    cos = (_dot(F.col(vec_col), F.col("probe_vec"))
-           / (_norm(F.col(vec_col)) * _norm(F.col("probe_vec"))))
+    cos = F.try_divide(
+        _dot(F.col(vec_col), F.col("probe_vec")),
+        _norm(F.col(vec_col)) * _norm(F.col("probe_vec")))
     w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"),
                                                F.asc(id_col))
     return (joined.select("probe_id", F.col(id_col),
@@ -325,8 +344,9 @@ def ivf_topk_from_index(spark, root: str, probe_df: DataFrame,
     pj = probe_df.select(F.col(id_col).alias("probe_id"),
                          F.col(vec_col).alias("probe_vec")) \
         .crossJoin(F.broadcast(cents))
-    pcos = (_dot(F.col("probe_vec"), F.col("centroid_vec"))
-            / (_norm(F.col("probe_vec")) * _norm(F.col("centroid_vec"))))
+    pcos = F.try_divide(
+        _dot(F.col("probe_vec"), F.col("centroid_vec")),
+        _norm(F.col("probe_vec")) * _norm(F.col("centroid_vec")))
     wp = Window.partitionBy("probe_id").orderBy(F.desc("pcos"),
                                                 F.asc("centroid_id"))
     probes = (pj.select("probe_id", "probe_vec",
@@ -340,8 +360,9 @@ def ivf_topk_from_index(spark, root: str, probe_df: DataFrame,
              .filter(F.col("centroid_id").isin(wanted)))
     joined = lists.join(F.broadcast(probes), "centroid_id") \
         .filter(F.col(id_col) != F.col("probe_id"))
-    cos = (_dot(F.col(vec_col), F.col("probe_vec"))
-           / (_norm(F.col(vec_col)) * _norm(F.col("probe_vec"))))
+    cos = F.try_divide(
+        _dot(F.col(vec_col), F.col("probe_vec")),
+        _norm(F.col(vec_col)) * _norm(F.col("probe_vec")))
     w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"),
                                                F.asc(id_col))
     return (joined.select("probe_id", F.col(id_col),
@@ -377,8 +398,9 @@ def lsh_cosine_topk(df: DataFrame, probe_df: DataFrame, k: int = 10,
                       F.col(vec_col).alias("probe_vec"), "bucket"))
     joined = corpus.join(F.broadcast(probes), "bucket") \
         .filter(F.col(id_col) != F.col("probe_id"))
-    cos = (_dot(F.col(vec_col), F.col("probe_vec"))
-           / (_norm(F.col(vec_col)) * _norm(F.col("probe_vec"))))
+    cos = F.try_divide(
+        _dot(F.col(vec_col), F.col("probe_vec")),
+        _norm(F.col(vec_col)) * _norm(F.col("probe_vec")))
     w = Window.partitionBy("probe_id").orderBy(
         F.desc("cosine"), F.asc(id_col))
     return (joined.select("probe_id", F.col(id_col),

@@ -279,7 +279,8 @@ def rt_events_struct_map(spark, sf_dir):
         F.count("*").alias("n_events"),
         F.sum("uv.uid").alias("sum_uid"),
         F.round(F.sum("uv.val"), 4).alias("sum_val"),
-        F.sum(F.element_at("props_map", "k").cast("long")).alias("sum_k"),
+        F.sum(F.try_element_at("props_map", F.lit("k")).cast("long"))
+        .alias("sum_k"),
         F.sum(F.size("props_map")).alias("sum_entries"))
 
 
