@@ -1,0 +1,106 @@
+"""Equality chunk pruning: dvset / bloom footer stats (eqstats.py)."""
+
+import pyarrow as pa
+import pytest
+from pyspark.sql import functions as F
+
+from varint_rvv_spark.operators.decode import decode_table, prune_chunks_eq
+from varint_rvv_spark.operators.eqstats import (
+    BLOOM_MAX_DISTINCT,
+    bloom_may_contain,
+    build_eq_stats,
+)
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+def test_eqstats_dvset_small_cardinality():
+    s = build_eq_stats(pa.array(["en", "de", "fr", None, "en"] * 10))
+    assert s == {"dvset": ["de", "en", "fr"]}
+
+
+def test_eqstats_bloom_no_false_negatives_and_bounded_fpr():
+    vals = [f"https://example.com/page/{i:06d}" for i in range(800)]
+    s = build_eq_stats(pa.array(vals))
+    assert "bloom" in s and s["bloom_m"] >= 8 * len(vals) // 2
+    assert all(bloom_may_contain(s["bloom"], s["bloom_m"], v.encode())
+               for v in vals)  # one-sidedness: members always pass
+    fp = sum(bloom_may_contain(s["bloom"], s["bloom_m"],
+                               f"https://other.org/{i}".encode())
+             for i in range(2000))
+    assert fp / 2000 < 0.10  # ~2.4 % expected at 8 bits/key
+
+def test_eqstats_opt_outs():
+    # long values (document bodies) never pay the stat cost
+    assert build_eq_stats(pa.array(["x" * 5000] * 20)) == {}
+    # degenerate inputs
+    assert build_eq_stats(pa.array([], type=pa.string())) == {}
+    assert build_eq_stats(pa.array([None, None], type=pa.string())) == {}
+    # pathological cardinality opts out rather than blunting the FPR
+    many = pa.array([f"{i:07d}" for i in range(BLOOM_MAX_DISTINCT + 1)])
+    assert build_eq_stats(many) == {}
+
+
+def test_prune_chunks_eq_source_clustered(spark):
+    """Range-clustered source column → dvset pruning is selective and
+    drops no needed chunk (same answer as the unpruned decode)."""
+    from varint_rvv_spark.operators.encode import encode_chunks_range
+    from varint_rvv_spark.queries import TABLE_SCHEMAS
+
+    df = spark.read.parquet(DOCS)
+    chunks = encode_chunks_range(df, ["source"], num_partitions=4,
+                                 rows_per_chunk=32).cache()
+    total = chunks.select("chunk_id").distinct().count()
+    pruned = prune_chunks_eq(chunks, "source", "src7")
+    kept = pruned.select("chunk_id").distinct().count()
+    assert 0 < kept <= max(total // 4, 2)  # actually selective
+
+    def agg(ch):
+        d = decode_table(ch, df.columns, TABLE_SCHEMAS["documents"],
+                         contiguous=True)
+        return tuple(d.filter(F.col("source") == "src7")
+                     .agg(F.count("*"), F.sum("doc_id"),
+                          F.sum("n_chars")).collect()[0])
+
+    assert agg(pruned) == agg(chunks)
+    # a column that opted out of eq stats (long text) is kept whole
+    unpruned = prune_chunks_eq(chunks, "text", "nosuchvalue")
+    assert unpruned.select("chunk_id").distinct().count() == total
+    chunks.unpersist()
+
+
+def test_prune_chunks_eq_bloom_point_lookup(spark):
+    """High-cardinality md5 fingerprint → bloom pruning: the chunk
+    holding the probed value always survives; most chunks are skipped."""
+    from varint_rvv_spark.operators.encode import encode_chunks
+
+    df = (spark.read.parquet(DOCS)
+          .withColumn("fp", F.md5("text")))
+    chunks = encode_chunks(df, key_cols=["doc_id"], num_chunks=16,
+                           columns=["doc_id", "fp"]).cache()
+    total = chunks.select("chunk_id").distinct().count()
+    targets = [r.fp for r in
+               df.orderBy("doc_id").select("fp").limit(5).collect()]
+    for t in targets:
+        pruned = prune_chunks_eq(chunks, "fp", t)
+        d = decode_table(pruned, ["doc_id", "fp"],
+                         "doc_id long, fp string", contiguous=True)
+        hits = d.filter(F.col("fp") == t).count()
+        assert hits >= 1  # never a false negative
+        assert pruned.select("chunk_id").distinct().count() < total
+    chunks.unpersist()
+
+
+def test_prune_chunks_eq_guards(spark):
+    from varint_rvv_spark.operators.encode import encode_chunks_scan
+    from varint_rvv_spark.sources.pages import pages_df
+
+    chunks = encode_chunks_scan(pages_df(spark, 100, seed=3,
+                                         partitions=2)).cache()
+    try:
+        with pytest.raises(ValueError, match="no footer rows"):
+            prune_chunks_eq(chunks, "no_such_col", "x")
+        with pytest.raises(ValueError, match="NULL"):
+            prune_chunks_eq(chunks, "url", None)
+    finally:
+        chunks.unpersist()

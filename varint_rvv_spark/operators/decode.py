@@ -179,6 +179,73 @@ def prune_chunks(chunks: DataFrame, column: str,
     return chunks.join(F.broadcast(qual), "chunk_id", "left_semi")
 
 
+def prune_chunks_eq(chunks: DataFrame, column: str, value) -> DataFrame:
+    """Equality chunk pruning on a string/binary column — the
+    categorical twin of `prune_chunks` (numeric equality is
+    `prune_chunks(col, v, v)`).
+
+    Keeps only the chunks whose footer equality stats
+    (operators/eqstats.py) say the chunk *may* contain `value`:
+
+    * ``dvset`` present → exact membership (`array_contains` on the
+      parsed JSON list);
+    * else ``bloom`` present → the BLOOM_K double-hashed bit tests,
+      evaluated as pure JVM Column arithmetic over the hex bitmap
+      (substr → conv → bit extract) — the footer scan never crosses
+      into Python;
+    * else (long-text / high-cardinality columns, pre-eqstats
+      footers) → conservatively kept.
+
+    One-sided like all pruning here: a chunk containing `value` always
+    survives (bloom false positives only cost a decode); a residual
+    row filter after decode is still required.  At 100 TB this is an
+    O(chunks) footer-metadata scan, same cost shape as prune_chunks.
+    """
+    from .eqstats import BLOOM_K, eq_hashes
+
+    if value is None:
+        raise ValueError("prune_chunks_eq: probing for NULL is not "
+                         "supported (validity lives outside eq stats)")
+    col_rows = chunks.filter(F.col("column") == column)
+    if col_rows.isEmpty():
+        raise ValueError(
+            f"prune_chunks_eq: no footer rows for column {column!r} — "
+            f"check the column name (pruning on it would drop all "
+            f"chunks, not zero)")
+    vb = value.encode("utf-8") if isinstance(value, str) else bytes(value)
+    try:
+        vs = vb.decode("utf-8")
+    except UnicodeDecodeError:
+        vs = None  # utf-8 columns (the only dvset writers) can't hold it
+    c1, c2 = eq_hashes(vb)
+    dv = F.from_json(F.get_json_object("stats_json", "$.dvset"),
+                     "array<string>")
+    bloom = F.get_json_object("stats_json", "$.bloom")
+    m = F.get_json_object("stats_json", "$.bloom_m").cast("long")
+
+    def bit_set(i: int):
+        # combined hash computed driver-side; cast defends against the
+        # literal being inferred 32-bit (ANSI mode would raise on *)
+        pos = F.lit(c1 + i * c2).cast("long") % m
+        hexpair = bloom.substr((F.floor(pos / 8) * 2 + 1).cast("int"),
+                               F.lit(2))
+        byte_val = F.conv(hexpair, 16, 10).cast("long")
+        # byte_val < 256 so the double-precision route is exact
+        return (F.floor(byte_val / F.pow(F.lit(2.0),
+                                         (pos % 8).cast("double")))
+                .cast("long") % 2) == 1
+    bloom_hit = bit_set(0)
+    for i in range(1, BLOOM_K):
+        bloom_hit = bloom_hit & bit_set(i)
+    may_contain = (
+        F.when(dv.isNotNull(),
+               F.array_contains(dv, vs) if vs is not None else F.lit(False))
+        .when(bloom.isNotNull() & m.isNotNull(), bloom_hit)
+        .otherwise(F.lit(True)))
+    qual = col_rows.filter(may_contain).select("chunk_id").distinct()
+    return chunks.join(F.broadcast(qual), "chunk_id", "left_semi")
+
+
 def decode_table(chunks: DataFrame, columns: list[str],
                  spark_schema: str, contiguous: bool = False) -> DataFrame:
     """Reconstruct the original table from chunk blobs.

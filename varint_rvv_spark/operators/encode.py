@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, functions as F
 from ..codecs import blob as B
 from ..codecs.select import column_stats, encode_auto, select_codec
 from .arrow_bridge import arrow_to_values, raw_nbytes, values_sha256
+from .eqstats import build_eq_stats
 
 CHUNK_ID = "_chunk_id"
 
@@ -126,6 +127,10 @@ def _append_column_row(rows: dict, chunk_id: int, col: str, arr,
         hist = np.bincount(varint_byte_lengths(_as_u64(values, dt)),
                            minlength=11)[1:]
         out_stats["varint_len_hist"] = [int(x) for x in hist]
+    if B.is_varlen(dt):
+        # equality pruning stats (dvset / bloom) — the categorical twin
+        # of the vmin/vmax zone map; see operators/eqstats.py
+        out_stats.update(build_eq_stats(arr))
     rows["chunk_id"].append(chunk_id)
     rows["num_chunks"].append(num_chunks)
     rows["column"].append(col)
