@@ -150,6 +150,96 @@ WHERE epoch_us(ts) >= 1704844800000000
 """
 
 
+def rt_documents_source_pruned(spark, sf_dir):
+    """Equality-pruned round-trip (categorical twin of
+    rt_events_pruned): source-clustered chunks, footer dvset/bloom
+    pruning on source='src7' (operators/eqstats.py), decode only the
+    surviving chunks, residual row filter, aggregate.  Equality with
+    the plain-WHERE oracle proves pruning drops no needed chunk."""
+    from .operators.decode import prune_chunks_eq
+    from .operators.encode import encode_chunks_range
+
+    df = _t(spark, sf_dir, "documents")
+    chunks = encode_chunks_range(df, ["source"], num_partitions=8,
+                                 rows_per_chunk=512).cache()
+    pruned = prune_chunks_eq(chunks, "source", "src7")
+    d = decode_table(pruned, df.columns, TABLE_SCHEMAS["documents"],
+                     contiguous=True)
+    return (d.filter(F.col("source") == "src7")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("doc_id").alias("sum_ids"),
+                 F.sum("n_chars").alias("sum_chars"),
+                 F.min("lang").alias("min_lang")))
+
+
+RT_DOCS_SOURCE_PRUNED_SQL = """
+SELECT COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars, MIN(lang) AS min_lang
+FROM documents WHERE source = 'src7'
+"""
+
+
+def rt_documents_point_lookup(spark, sf_dir):
+    """Bloom point lookup through the engine: a high-cardinality
+    md5(text) fingerprint column is encoded alongside the table; the
+    footer bloom (eqstats.py) prunes the scan to ~1 chunk (plus ~2 %
+    false positives) before any payload reaches the decode kernel —
+    the 'find this exact document at 100 TB' shape."""
+    from .operators.decode import prune_chunks_eq
+    from .operators.encode import encode_chunks
+
+    df = _t(spark, sf_dir, "documents").withColumn("fp", F.md5("text"))
+    # probe literal — in the real API a user-supplied constant; here a
+    # bounded (one-value) driver action picks a deterministic target
+    target = df.agg(F.max("fp")).collect()[0][0]
+    n = max(int(spark.conf.get("spark.sql.shuffle.partitions", "8")), 8)
+    chunks = encode_chunks(df, key_cols=["doc_id"], num_chunks=n).cache()
+    pruned = prune_chunks_eq(chunks, "fp", target)
+    d = decode_table(pruned, df.columns,
+                     TABLE_SCHEMAS["documents"] + ", fp string",
+                     contiguous=True)
+    return (d.filter(F.col("fp") == target)
+            .select("doc_id", "lang", "n_chars", "fp"))
+
+
+RT_DOCS_POINT_LOOKUP_SQL = """
+SELECT doc_id, lang, n_chars, md5(text) AS fp
+FROM documents
+WHERE md5(text) = (SELECT max(md5(text)) FROM documents)
+"""
+
+
+def compact_small_chunks(spark, sf_dir):
+    """Compaction maintenance job: streaming-shaped 256-row micro-batch
+    chunks rolled into target-size chunks (operators/compact.py), then
+    decoded and aggregated.  Oracle equality proves the rewrite is
+    lossless; compacted chunks carry fresh footer stats so pruning and
+    verify work unchanged (tests/test_compact.py)."""
+    from .operators.compact import compact_chunks
+    from .operators.encode import encode_chunks_scan
+
+    df = _t(spark, sf_dir, "events")
+    # cache: the bin-assignment metadata pass and the payload pass both
+    # read the chunk set; from a sink this is two cheap scans, from a
+    # fresh encode lineage it would re-run the encode
+    small = encode_chunks_scan(df, rows_per_chunk=256).cache()
+    compacted = compact_chunks(small, target_bytes=4 << 20)
+    d = decode_table(compacted, df.columns, TABLE_SCHEMAS["events"],
+                     contiguous=True)
+    return (d.groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum("user_id").alias("sum_users"),
+                 F.round(F.sum("value"), 4).alias("sum_value")))
+
+
+COMPACT_SMALL_CHUNKS_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(user_id) AS BIGINT) AS sum_users,
+       ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
 def rt_embeddings_roundtrip(spark, sf_dir):
     """Array-column round-trip: the embeddings table (array<float>)
     through the LIST codec (flatten → lengths varint/RLE + child
@@ -1636,6 +1726,9 @@ QUERIES = {
     "text_quality_by_lang": text_quality_by_lang,
     "rt_events_scanmode": rt_events_scanmode,
     "rt_events_pruned": rt_events_pruned,
+    "rt_documents_source_pruned": rt_documents_source_pruned,
+    "rt_documents_point_lookup": rt_documents_point_lookup,
+    "compact_small_chunks": compact_small_chunks,
     "rt_embeddings_roundtrip": rt_embeddings_roundtrip,
     "rt_orders_dates": rt_orders_dates,
     "rt_events_struct_map": rt_events_struct_map,
@@ -1684,6 +1777,9 @@ ORACLES = {
     "text_quality_by_lang": TEXT_QUALITY_SQL,
     "rt_events_scanmode": RT_EVENTS_SCANMODE_SQL,
     "rt_events_pruned": RT_EVENTS_PRUNED_SQL,
+    "rt_documents_source_pruned": RT_DOCS_SOURCE_PRUNED_SQL,
+    "rt_documents_point_lookup": RT_DOCS_POINT_LOOKUP_SQL,
+    "compact_small_chunks": COMPACT_SMALL_CHUNKS_SQL,
     "rt_embeddings_roundtrip": RT_EMBEDDINGS_SQL,
     "rt_orders_dates": RT_ORDERS_DATES_SQL,
     "rt_events_struct_map": RT_EVENTS_STRUCT_MAP_SQL,
