@@ -338,3 +338,23 @@ def test_lsh_pipelines_degrade_on_null_embedding(spark, planted):
     pairs = embedding_neardup_pairs(corpus, threshold=0.95,
                                     n_planes=4, dim=64).collect()
     assert all(902 not in (r.id_a, r.id_b) for r in pairs)
+
+
+def test_span_dup_coverage_planted(spark):
+    """Planted shared span: docs sharing a 5-word run are flagged with
+    the exact shingle counts; a unique doc gets dup_frac 0."""
+    from varint_rvv_spark.operators.dedup import span_dup_coverage
+
+    shared = "the quick brown fox jumps"
+    rows = [
+        (1, f"{shared} over the lazy dog"),
+        (2, f"once upon a time {shared} again here"),
+        (3, "completely unrelated words in this document body"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           span_dup_coverage(df, "doc_id", "text", k=3).collect()}
+    # doc 1: 7 trigrams, the 3 inside the shared 5-gram are duplicated
+    assert out[1].n_shingles == 7 and out[1].n_dup == 3
+    assert out[2].n_dup == 3
+    assert out[3].n_dup == 0 and out[3].dup_frac == 0.0

@@ -460,3 +460,37 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
                     F.col(f"b.{id_col}").alias("id_b"),
                     F.round(cos, 5).alias("cosine"))
             .filter(F.col("cosine") >= threshold))
+
+
+def span_dup_coverage(df: DataFrame, id_col: str, text_col: str,
+                      k: int = 3) -> DataFrame:
+    """Per-document duplicated-span coverage: the fraction of a doc's
+    distinct word k-shingles that also occur in at least one other
+    document.
+
+    The corpus-curation metric behind span-level dedup ("Deduplicating
+    Training Data Makes Language Models Better", Lee et al. 2022): a
+    high dup_frac marks boilerplate/templated or near-copied documents
+    even when no single pair crosses a Jaccard threshold — the usual
+    policy is to drop or down-weight docs above a coverage cutoff.
+
+    Plan (100 TB shape): shingles are built map-side (zip_with chain,
+    zero shuffle), then ONE groupBy(shingle) computes document
+    frequency (shingles are already distinct per doc, so COUNT(*) is
+    the doc frequency; partial agg combines map-side), and ONE
+    shuffle join brings df back to (doc, shingle) rows for the per-doc
+    rollup.  No self-join, no candidate explosion — cost is linear in
+    total shingle volume, the same envelope as the MinHash signature
+    stage.
+    """
+    sh = word_shingles(df, id_col, text_col, k)
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    per = (sh.join(dfreq, "shingle")
+           .groupBy(id_col)
+           .agg(F.count("*").alias("n_shingles"),
+                F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+                .alias("n_dup")))
+    return per.select(
+        F.col(id_col), "n_shingles", "n_dup",
+        F.round(F.col("n_dup") / F.col("n_shingles"), 5)
+        .alias("dup_frac"))

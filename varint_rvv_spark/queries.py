@@ -759,6 +759,34 @@ WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
 """
 
 
+def dedup_span_coverage(spark, sf_dir):
+    """Per-document duplicated-span coverage (Lee et al. 2022 metric):
+    fraction of each doc's distinct word 3-shingles that appear in at
+    least one other document.  Linear-cost plan — no self-join (see
+    operators/dedup.span_dup_coverage)."""
+    from .operators.dedup import span_dup_coverage
+
+    return span_dup_coverage(_t(spark, sf_dir, "documents"),
+                             "doc_id", "text", k=3)
+
+
+SPAN_COVERAGE_SQL = r"""
+WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+       FROM d, UNNEST(range(1, len(toks) - 1)) AS t(i)),
+dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+per AS (SELECT doc_id, COUNT(*) AS n_shingles,
+               SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS n_dup
+        FROM sh JOIN dfreq USING (shingle) GROUP BY doc_id)
+SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+       CAST(n_dup AS BIGINT) AS n_dup,
+       ROUND(CAST(n_dup AS DOUBLE) / n_shingles, 5) AS dup_frac
+FROM per
+"""
+
+
 def dedup_minhash_survivors(spark, sf_dir):
     """End-to-end MinHash dedup: LSH candidates → exact-Jaccard verify
     → connected components → duplicate groups (group_id = survivor)."""
@@ -1706,6 +1734,7 @@ QUERIES = {
     "codec_footer_documents": codec_footer_documents,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_span_coverage": dedup_span_coverage,
     "dedup_minhash_survivors": dedup_minhash_survivors,
     "dedup_simhash": dedup_simhash,
     "embedding_neardup": embedding_neardup,
@@ -1761,6 +1790,7 @@ ORACLES = {
     "embedding_topk_cosine": EMBEDDING_TOPK_SQL,
     "dedup_minhash_lsh": _minhash_sql(),
     "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
+    "dedup_span_coverage": SPAN_COVERAGE_SQL,
     "dedup_minhash_survivors": _minhash_survivors_sql(),
     "dedup_simhash": _simhash_sql(),
     "embedding_neardup": _embedding_neardup_sql(),
