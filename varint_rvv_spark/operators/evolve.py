@@ -1,0 +1,138 @@
+"""Decode-time schema evolution over the encoded chunk store.
+
+A 100 TB chunk store outlives its writers: readers add columns, widen
+integer types, and rename fields without rewriting petabytes.
+`decode_table_evolved` reconstructs a *target* schema from chunks
+written under an older one:
+
+* **added column** — not in any footer row → filled with a per-column
+  default (NULL if none given), as a pure JVM literal after decode;
+* **dropped column** — simply not requested (decode_table already
+  prunes by column name, and the column-partitioned sink never even
+  scans the dropped column's files);
+* **widened type** — decoded at the stored type, then a JVM-side
+  vectorized cast; only provably-lossless widenings are allowed
+  (int→long, float→double, date→timestamp, ... see _SAFE_WIDEN), a
+  narrowing raises;
+* **renamed column** — `renames={old: new}` remaps the footer column
+  names before decode (metadata-only, pure Column expr).
+
+Everything happens after the Python decode kernel or on footer
+metadata — the kernel itself stays evolution-unaware, so the change
+surface is zero for the hot path.  The stored-schema probe is one
+bounded driver action over the footer (one row per column).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..codecs import blob as B
+from .decode import decode_table
+
+_NARROW_SPARK = {"int8": "tinyint", "int16": "smallint",
+                 "uint8": "smallint", "uint16": "int"}
+_DT_SPARK = {B.DT_STR: "string", B.DT_BIN: "binary",
+             B.DT_I32: "int", B.DT_I64: "bigint",
+             B.DT_F32: "float", B.DT_F64: "double"}
+
+# target types each stored type may be losslessly widened to
+_SAFE_WIDEN = {
+    "tinyint": {"smallint", "int", "bigint", "double"},
+    "smallint": {"int", "bigint", "double"},
+    "int": {"bigint", "double"},
+    "float": {"double"},
+    "date": {"timestamp", "timestamp_ntz"},
+}
+
+
+def _stored_spark_type(dt: int, logical: str) -> str | None:
+    """Spark type string for a stored column, or None when the engine
+    cannot reason about widening (nested / unsigned64) — such columns
+    must match the target type exactly."""
+    if logical.startswith("timestamp_us:"):
+        return "timestamp"
+    if logical == "timestamp_us":
+        return "timestamp_ntz"
+    if logical == "date32":
+        return "date"
+    if logical == "bool":
+        return "boolean"
+    if logical.startswith("narrow_int:"):
+        return _NARROW_SPARK.get(logical.split(":", 1)[1])
+    if logical.startswith("decimal:"):
+        _, p, s = logical.split(":")
+        return f"decimal({p},{s})"
+    if logical != "plain":
+        return None  # list/struct/map — exact-match only
+    return _DT_SPARK.get(dt)
+
+
+_CANON = {"long": "bigint", "short": "smallint", "byte": "tinyint",
+          "integer": "int"}
+
+
+def _canon(t: str) -> str:
+    return _CANON.get(t, t)
+
+
+def decode_table_evolved(chunks: DataFrame, target_schema: str,
+                         defaults: dict | None = None,
+                         renames: dict[str, str] | None = None,
+                         contiguous: bool = False) -> DataFrame:
+    """Reconstruct `target_schema` from chunks written under an older
+    schema (see module doc).  defaults: {column: value} for columns
+    absent from the chunk store; renames: {stored_name: target_name}.
+    """
+    from pyspark.sql.types import _parse_datatype_string
+
+    struct = _parse_datatype_string(target_schema)
+    target = {f.name: f.dataType.simpleString() for f in struct.fields}
+    if renames:
+        kv = [F.lit(x) for pair in renames.items() for x in pair]
+        mapping = F.create_map(*kv)
+        # try_element_at: ANSI mode raises on missing map keys
+        chunks = chunks.withColumn(
+            "column", F.coalesce(F.try_element_at(mapping, F.col("column")),
+                                 F.col("column")))
+    # bounded driver action: one footer row per stored column
+    stored_rows = (chunks.select("column", "dtype_code", "logical_type")
+                   .distinct().collect())
+    stored: dict[str, str | None] = {}
+    for r in stored_rows:
+        t = _stored_spark_type(int(r.dtype_code), r.logical_type)
+        if r.column in stored and stored[r.column] != t:
+            raise ValueError(
+                f"decode_table_evolved: column {r.column!r} has "
+                f"inconsistent stored types across chunks "
+                f"({stored[r.column]} vs {t}) — compact or migrate "
+                f"the store before evolving the schema")
+        stored[r.column] = t
+    present = [c for c in target if c in stored]
+    missing = [c for c in target if c not in stored]
+    decode_types, casts = {}, {}
+    for c in present:
+        st, tt = stored[c], _canon(target[c])
+        if st is None or _canon(st) == tt:
+            decode_types[c] = target[c]  # exact (or unreasoned) match
+        elif tt in _SAFE_WIDEN.get(_canon(st), ()):
+            decode_types[c] = st
+            casts[c] = target[c]
+        else:
+            raise ValueError(
+                f"decode_table_evolved: column {c!r} stored as {st} "
+                f"cannot be losslessly read as {target[c]} — only "
+                f"widenings are supported ({sorted(_SAFE_WIDEN)})")
+    sub_schema = ", ".join(f"{c} {decode_types[c]}" for c in present)
+    d = decode_table(chunks, present, sub_schema, contiguous=contiguous)
+    for c, t in casts.items():
+        d = d.withColumn(c, F.col(c).cast(t))
+    defaults = defaults or {}
+    bad = set(defaults) - set(missing)
+    if bad:
+        raise ValueError(
+            f"decode_table_evolved: defaults given for stored columns "
+            f"{sorted(bad)} — defaults only apply to added columns")
+    for c in missing:
+        d = d.withColumn(c, F.lit(defaults.get(c)).cast(target[c]))
+    return d.select(*target.keys())

@@ -240,6 +240,45 @@ FROM events GROUP BY event_type
 """
 
 
+def schema_evolution_read(spark, sf_dir):
+    """Decode-time schema evolution (operators/evolve.py): chunks
+    written under a v1 schema (int custkey, date order date) read
+    under v2 — custkey widened to bigint, date widened to timestamp,
+    a `channel` column added with a default, priority dropped.  All
+    evolution is JVM-side casts/literals after the unchanged decode
+    kernel; oracle expresses the evolved view directly."""
+    from .operators.encode import encode_chunks
+    from .operators.evolve import decode_table_evolved
+
+    df = (_t(spark, sf_dir, "orders")
+          .select("o_orderkey",
+                  F.col("o_custkey").cast("int").alias("o_custkey"),
+                  "o_orderstatus", "o_totalprice",
+                  F.to_date("o_orderdate").alias("o_date")))
+    n = max(int(spark.conf.get("spark.sql.shuffle.partitions", "8")), 8)
+    chunks = encode_chunks(df, key_cols=["o_orderkey"], num_chunks=n)
+    d = decode_table_evolved(
+        chunks,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_date timestamp, channel string",
+        defaults={"channel": "web"})
+    return (d.groupBy("o_orderstatus", "channel")
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum("o_custkey").alias("sum_cust"),
+                 F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+                 F.min(F.unix_micros("o_date")).alias("min_date_us")))
+
+
+SCHEMA_EVOLUTION_SQL = """
+SELECT o_orderstatus, 'web' AS channel, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_custkey AS INTEGER)) AS BIGINT) AS sum_cust,
+       ROUND(SUM(o_totalprice), 2) AS sum_price,
+       MIN(epoch_us(CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP)))
+           AS min_date_us
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 def rt_embeddings_roundtrip(spark, sf_dir):
     """Array-column round-trip: the embeddings table (array<float>)
     through the LIST codec (flatten → lengths varint/RLE + child
@@ -1758,6 +1797,7 @@ QUERIES = {
     "rt_documents_source_pruned": rt_documents_source_pruned,
     "rt_documents_point_lookup": rt_documents_point_lookup,
     "compact_small_chunks": compact_small_chunks,
+    "schema_evolution_read": schema_evolution_read,
     "rt_embeddings_roundtrip": rt_embeddings_roundtrip,
     "rt_orders_dates": rt_orders_dates,
     "rt_events_struct_map": rt_events_struct_map,
@@ -1810,6 +1850,7 @@ ORACLES = {
     "rt_documents_source_pruned": RT_DOCS_SOURCE_PRUNED_SQL,
     "rt_documents_point_lookup": RT_DOCS_POINT_LOOKUP_SQL,
     "compact_small_chunks": COMPACT_SMALL_CHUNKS_SQL,
+    "schema_evolution_read": SCHEMA_EVOLUTION_SQL,
     "rt_embeddings_roundtrip": RT_EMBEDDINGS_SQL,
     "rt_orders_dates": RT_ORDERS_DATES_SQL,
     "rt_events_struct_map": RT_EVENTS_STRUCT_MAP_SQL,
