@@ -87,6 +87,13 @@ def build_eq_stats(arr: pa.Array) -> dict:
     # includes ~4-8 B/row of offsets, negligible vs the threshold)
     if arr.nbytes / n > MAX_AVG_LEN:
         return {}
+    if n > BLOOM_MAX_DISTINCT:
+        # cheap pre-sample: if the head is already ~all-distinct, the
+        # full distinct set will blow the cap — skip the full unique()
+        # pass entirely (opting out is always safe: absent stat = keep)
+        head = pc.unique(arr.slice(0, 1024)).drop_null()
+        if len(head) > 921:  # >90 % distinct in the sample
+            return {}
     u = pc.unique(arr).drop_null()
     nd = len(u)
     if nd == 0 or nd > BLOOM_MAX_DISTINCT:
