@@ -104,3 +104,72 @@ def test_prune_chunks_eq_guards(spark):
             prune_chunks_eq(chunks, "url", None)
     finally:
         chunks.unpersist()
+
+
+def test_eqstats_numeric_dvset_and_bloom():
+    import numpy as np
+
+    from varint_rvv_spark.operators.eqstats import (
+        build_eq_stats_numeric,
+        int_key_bytes,
+    )
+
+    # enum-like ints -> exact list
+    s = build_eq_stats_numeric(np.array([3, 1, 2, 1, 3] * 10,
+                                        dtype=np.int64))
+    assert s == {"dvset_i": [1, 2, 3]}
+    # id-like ints -> bloom, no false negatives
+    ids = np.arange(10_000, 11_000, dtype=np.int64)
+    s2 = build_eq_stats_numeric(ids)
+    assert "bloom" in s2
+    assert all(bloom_may_contain(s2["bloom"], s2["bloom_m"],
+                                 int_key_bytes(int(v))) for v in ids)
+    # negative values round-trip through the two's-complement key
+    neg = build_eq_stats_numeric(np.array([-5, -1, 7], dtype=np.int64))
+    assert neg == {"dvset_i": [-5, -1, 7]}
+    # u64 beyond int64 falls through to bloom (dvset_i cannot hold it)
+    big = build_eq_stats_numeric(np.array([2**63 + 1, 2, 3],
+                                          dtype=np.uint64))
+    assert "bloom" in big
+    assert bloom_may_contain(big["bloom"], big["bloom_m"],
+                             int_key_bytes(2**63 + 1))
+
+
+def test_prune_chunks_eq_int_point_lookup(spark):
+    """doc_id point lookup on a hash-clustered layout: the zone map
+    cannot prune (ids span every chunk) but the eq bloom can."""
+    from varint_rvv_spark.operators.encode import encode_chunks
+
+    df = spark.read.parquet(DOCS)
+    chunks = encode_chunks(df, key_cols=["doc_id"], num_chunks=16,
+                           columns=["doc_id", "lang"]).cache()
+    total = chunks.select("chunk_id").distinct().count()
+    for target in [0, 7, 499]:
+        pruned = prune_chunks_eq(chunks, "doc_id", target)
+        d = decode_table(pruned, ["doc_id", "lang"],
+                         "doc_id long, lang string", contiguous=True)
+        assert d.filter(F.col("doc_id") == target).count() == 1
+        assert pruned.select("chunk_id").distinct().count() < total
+    chunks.unpersist()
+
+
+def test_prune_chunks_in_list(spark):
+    from varint_rvv_spark.operators.decode import prune_chunks_in
+    from varint_rvv_spark.operators.encode import encode_chunks
+
+    df = spark.read.parquet(DOCS)
+    chunks = encode_chunks(df, key_cols=["doc_id"], num_chunks=16,
+                           columns=["doc_id", "source"]).cache()
+    total = chunks.select("chunk_id").distinct().count()
+    targets = [3, 141, 421]
+    pruned = prune_chunks_in(chunks, "doc_id", targets)
+    d = decode_table(pruned, ["doc_id", "source"],
+                     "doc_id long, source string", contiguous=True)
+    assert d.filter(F.col("doc_id").isin(targets)).count() == len(targets)
+    assert pruned.select("chunk_id").distinct().count() < total
+    # over the probe cap: conservatively keeps everything
+    wide = prune_chunks_in(chunks, "doc_id", list(range(100)))
+    assert wide.select("chunk_id").distinct().count() == total
+    with pytest.raises(ValueError, match="empty probe list"):
+        prune_chunks_in(chunks, "doc_id", [])
+    chunks.unpersist()

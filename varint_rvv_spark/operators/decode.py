@@ -180,9 +180,12 @@ def prune_chunks(chunks: DataFrame, column: str,
 
 
 def prune_chunks_eq(chunks: DataFrame, column: str, value) -> DataFrame:
-    """Equality chunk pruning on a string/binary column — the
-    categorical twin of `prune_chunks` (numeric equality is
-    `prune_chunks(col, v, v)`).
+    """Equality chunk pruning on a string/binary/integer column.
+
+    For integers this complements the zone map: `prune_chunks(col, v,
+    v)` only helps when the table is clustered on the column, while
+    the eq stats (dvset_i / bloom over distinct values) prune id
+    point lookups on *any* layout.
 
     Keeps only the chunks whose footer equality stats
     (operators/eqstats.py) say the chunk *may* contain `value`:
@@ -201,25 +204,76 @@ def prune_chunks_eq(chunks: DataFrame, column: str, value) -> DataFrame:
     row filter after decode is still required.  At 100 TB this is an
     O(chunks) footer-metadata scan, same cost shape as prune_chunks.
     """
-    from .eqstats import BLOOM_K, eq_hashes
+    qual = (_eq_col_rows(chunks, column, "prune_chunks_eq")
+            .filter(_eq_may_contain(value))
+            .select("chunk_id").distinct())
+    return chunks.join(F.broadcast(qual), "chunk_id", "left_semi")
 
-    if value is None:
-        raise ValueError("prune_chunks_eq: probing for NULL is not "
-                         "supported (validity lives outside eq stats)")
+
+def prune_chunks_in(chunks: DataFrame, column: str, values,
+                    max_probes: int = 64) -> DataFrame:
+    """IN-list chunk pruning: keep chunks that may contain *any* of
+    `values` (OR of the prune_chunks_eq conditions).  Probe lists
+    longer than `max_probes` skip pruning entirely (conservatively
+    keeping every chunk) — a thousand-term OR of bit tests would bloat
+    codegen for marginal selectivity; route huge id lists through a
+    semi-join on the decoded column instead."""
+    vals = list(values)
+    if not vals:
+        raise ValueError("prune_chunks_in: empty probe list (did you "
+                         "mean to prune everything?)")
+    col_rows = _eq_col_rows(chunks, column, "prune_chunks_in")
+    if len(vals) > max_probes:
+        return chunks
+    cond = _eq_may_contain(vals[0])
+    for v in vals[1:]:
+        cond = cond | _eq_may_contain(v)
+    qual = col_rows.filter(cond).select("chunk_id").distinct()
+    return chunks.join(F.broadcast(qual), "chunk_id", "left_semi")
+
+
+def _eq_col_rows(chunks: DataFrame, column: str, who: str) -> DataFrame:
     col_rows = chunks.filter(F.col("column") == column)
     if col_rows.isEmpty():
         raise ValueError(
-            f"prune_chunks_eq: no footer rows for column {column!r} — "
-            f"check the column name (pruning on it would drop all "
-            f"chunks, not zero)")
-    vb = value.encode("utf-8") if isinstance(value, str) else bytes(value)
-    try:
-        vs = vb.decode("utf-8")
-    except UnicodeDecodeError:
-        vs = None  # utf-8 columns (the only dvset writers) can't hold it
+            f"{who}: no footer rows for column {column!r} — check the "
+            f"column name (pruning on it would drop all chunks, not "
+            f"zero)")
+    return col_rows
+
+
+def _eq_may_contain(value):
+    """Column predicate over footer rows: may this chunk contain
+    `value`?  Pure JVM (get_json_object / from_json / substr / conv);
+    chunks without eq stats evaluate True (conservatively kept)."""
+    from .eqstats import BLOOM_K, eq_hashes, int_key_bytes
+
+    if value is None:
+        raise ValueError("eq pruning: probing for NULL is not "
+                         "supported (validity lives outside eq stats)")
+    if isinstance(value, bool):
+        raise ValueError("eq pruning: probe booleans as ints (0/1)")
+    if isinstance(value, int):
+        vb = int_key_bytes(value)
+        dv = F.from_json(F.get_json_object("stats_json", "$.dvset_i"),
+                         "array<bigint>")
+        # dvset_i is only written for int64-representable domains, so
+        # an out-of-range probe can simply never match it
+        in_dv = (F.array_contains(dv, F.lit(value).cast("bigint"))
+                 if -(1 << 63) <= value < (1 << 63) else F.lit(False))
+    else:
+        vb = (value.encode("utf-8") if isinstance(value, str)
+              else bytes(value))
+        try:
+            vs = vb.decode("utf-8")
+        except UnicodeDecodeError:
+            vs = None  # utf-8 columns (the only dvset writers) can't
+            #            hold a non-utf8 byte string
+        dv = F.from_json(F.get_json_object("stats_json", "$.dvset"),
+                         "array<string>")
+        in_dv = (F.array_contains(dv, vs) if vs is not None
+                 else F.lit(False))
     c1, c2 = eq_hashes(vb)
-    dv = F.from_json(F.get_json_object("stats_json", "$.dvset"),
-                     "array<string>")
     bloom = F.get_json_object("stats_json", "$.bloom")
     m = F.get_json_object("stats_json", "$.bloom_m").cast("long")
 
@@ -237,13 +291,9 @@ def prune_chunks_eq(chunks: DataFrame, column: str, value) -> DataFrame:
     bloom_hit = bit_set(0)
     for i in range(1, BLOOM_K):
         bloom_hit = bloom_hit & bit_set(i)
-    may_contain = (
-        F.when(dv.isNotNull(),
-               F.array_contains(dv, vs) if vs is not None else F.lit(False))
-        .when(bloom.isNotNull() & m.isNotNull(), bloom_hit)
-        .otherwise(F.lit(True)))
-    qual = col_rows.filter(may_contain).select("chunk_id").distinct()
-    return chunks.join(F.broadcast(qual), "chunk_id", "left_semi")
+    return (F.when(dv.isNotNull(), in_dv)
+            .when(bloom.isNotNull() & m.isNotNull(), bloom_hit)
+            .otherwise(F.lit(True)))
 
 
 def decode_table(chunks: DataFrame, columns: list[str],

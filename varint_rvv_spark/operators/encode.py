@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, functions as F
 from ..codecs import blob as B
 from ..codecs.select import column_stats, encode_auto, select_codec
 from .arrow_bridge import arrow_to_values, raw_nbytes, values_sha256
-from .eqstats import build_eq_stats
+from .eqstats import build_eq_stats, build_eq_stats_numeric
 
 CHUNK_ID = "_chunk_id"
 
@@ -127,6 +127,9 @@ def _append_column_row(rows: dict, chunk_id: int, col: str, arr,
         hist = np.bincount(varint_byte_lengths(_as_u64(values, dt)),
                            minlength=11)[1:]
         out_stats["varint_len_hist"] = [int(x) for x in hist]
+        # id point-lookup stats (null fills are hashed too — extra
+        # bloom bits only ever cause a kept chunk, never a pruned one)
+        out_stats.update(build_eq_stats_numeric(values))
     if B.is_varlen(dt):
         # equality pruning stats (dvset / bloom) — the categorical twin
         # of the vmin/vmax zone map; see operators/eqstats.py

@@ -115,6 +115,49 @@ def build_eq_stats(arr: pa.Array) -> dict:
     return {"bloom": bm.tobytes().hex(), "bloom_m": m}
 
 
+def int_key_bytes(v: int) -> bytes:
+    """Canonical 8-byte hash key for an integer value: 64-bit
+    two's-complement little-endian (covers i8..i64 and u8..u64 —
+    encode side and probe side must agree)."""
+    return (int(v) & ((1 << 64) - 1)).to_bytes(8, "little")
+
+
+_I64_MIN, _U64_MAX = -(1 << 63), (1 << 64) - 1
+
+
+def build_eq_stats_numeric(values: "np.ndarray") -> dict:
+    """Equality stats for one chunk of an integer column — the id
+    point-lookup path (`doc_id = ...`, `o_orderkey IN (...)`), where
+    the vmin/vmax zone map only helps if the table is clustered on the
+    column.  Same caps and one-sidedness as the varlen variant; tiny
+    domains (enum-like ints) get an exact ``dvset_i`` list, id-like
+    columns a bloom.  Floats are never eligible (float equality is a
+    data smell, and NaN/-0.0 break canonical hashing)."""
+    n = len(values)
+    if n == 0:
+        return {}
+    if n > BLOOM_MAX_DISTINCT:
+        head = np.unique(values[:1024])
+        if len(head) > 921:  # >90 % distinct in the sample
+            return {}
+    u = np.unique(values)
+    nd = len(u)
+    if nd > BLOOM_MAX_DISTINCT:
+        return {}
+    if nd <= DVSET_MAX_VALUES and int(u[0]) >= _I64_MIN \
+            and int(u[-1]) < (1 << 63):
+        # exact list; JSON/Spark longs cap at int64 so u64 outliers
+        # fall through to the bloom (hash keys cover the full range)
+        return {"dvset_i": [int(x) for x in u]}
+    m = min(max(_next_pow2(BLOOM_BITS_PER_KEY * nd), BLOOM_MIN_M),
+            BLOOM_MAX_M)
+    bm = np.zeros(m >> 3, dtype=np.uint8)
+    for v in u:
+        for p in bloom_positions(int_key_bytes(int(v)), m):
+            bm[p >> 3] |= np.uint8(1 << (p & 7))
+    return {"bloom": bm.tobytes().hex(), "bloom_m": m}
+
+
 def bloom_may_contain(bloom_hex: str, m: int, value: bytes) -> bool:
     """Python-side membership check (tests + kernel-side use); the
     JVM Column twin lives in decode.prune_chunks_eq."""

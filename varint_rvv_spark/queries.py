@@ -209,6 +209,40 @@ WHERE md5(text) = (SELECT max(md5(text)) FROM documents)
 """
 
 
+def rt_orders_in_list(spark, sf_dir):
+    """IN-list point reads by order key on a hash-clustered layout:
+    the integer eq blooms (operators/eqstats.py) prune chunks the
+    zone map cannot touch (ids span every chunk), with the OR-of-
+    probes condition evaluated on footer metadata only."""
+    from .operators.decode import prune_chunks_in
+    from .operators.encode import encode_chunks
+
+    df = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    # probe literals — a user-supplied id list in the real API; here a
+    # bounded (5-row) driver action picks deterministic targets
+    keys = [r.o_orderkey for r in
+            df.orderBy("o_orderkey").limit(5).collect()]
+    n = max(int(spark.conf.get("spark.sql.shuffle.partitions", "8")), 8)
+    chunks = encode_chunks(df, key_cols=["o_orderkey"],
+                           num_chunks=n).cache()
+    pruned = prune_chunks_in(chunks, "o_orderkey", keys)
+    d = decode_table(pruned, df.columns,
+                     "o_orderkey long, o_orderstatus string, "
+                     "o_totalprice double", contiguous=True)
+    return (d.filter(F.col("o_orderkey").isin(keys))
+            .select("o_orderkey", "o_orderstatus",
+                    F.round("o_totalprice", 2).alias("price")))
+
+
+RT_ORDERS_IN_LIST_SQL = """
+SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 2) AS price
+FROM orders
+WHERE o_orderkey IN (SELECT o_orderkey FROM orders
+                     ORDER BY o_orderkey LIMIT 5)
+"""
+
+
 def compact_small_chunks(spark, sf_dir):
     """Compaction maintenance job: streaming-shaped 256-row micro-batch
     chunks rolled into target-size chunks (operators/compact.py), then
@@ -1796,6 +1830,7 @@ QUERIES = {
     "rt_events_pruned": rt_events_pruned,
     "rt_documents_source_pruned": rt_documents_source_pruned,
     "rt_documents_point_lookup": rt_documents_point_lookup,
+    "rt_orders_in_list": rt_orders_in_list,
     "compact_small_chunks": compact_small_chunks,
     "schema_evolution_read": schema_evolution_read,
     "rt_embeddings_roundtrip": rt_embeddings_roundtrip,
@@ -1849,6 +1884,7 @@ ORACLES = {
     "rt_events_pruned": RT_EVENTS_PRUNED_SQL,
     "rt_documents_source_pruned": RT_DOCS_SOURCE_PRUNED_SQL,
     "rt_documents_point_lookup": RT_DOCS_POINT_LOOKUP_SQL,
+    "rt_orders_in_list": RT_ORDERS_IN_LIST_SQL,
     "compact_small_chunks": COMPACT_SMALL_CHUNKS_SQL,
     "schema_evolution_read": SCHEMA_EVOLUTION_SQL,
     "rt_embeddings_roundtrip": RT_EMBEDDINGS_SQL,
