@@ -69,3 +69,14 @@ def test_evolved_roundtrip_on_real_table(spark):
     assert got[0] == 200 and got[2] == 1
     exp = df.agg(F.min(F.col("o_date").cast("timestamp"))).collect()[0][0]
     assert got[1] == exp
+
+
+def test_stored_table_schema_inference(spark, chunks_v1):
+    from varint_rvv_spark.operators.evolve import stored_table_schema
+
+    assert stored_table_schema(chunks_v1) == (
+        "id bigint, ratio float, score int, user string")
+    assert stored_table_schema(chunks_v1, ["user", "id"]) == (
+        "user string, id bigint")
+    with pytest.raises(ValueError, match="no footer rows"):
+        stored_table_schema(chunks_v1, ["nope"])

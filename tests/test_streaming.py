@@ -173,3 +173,30 @@ def test_streaming_simhash_neardup(spark, tmp_path):
     assert got == expected([rows1, rows2])
     assert 1 in got and 2 not in got  # exact dup suppressed in-batch
     assert 4 not in got               # near-dup suppressed cross-batch
+
+
+def test_stream_chunks_compact_roundtrip(spark, tmp_path):
+    """The full incremental-ingest story: stream-encode micro-batches,
+    then the compaction maintenance job rolls the per-batch chunk sets
+    into target-size chunks that still verify and decode identically."""
+    from varint_rvv_spark.operators.compact import compact_chunks
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    for seed in (11, 12, 13):
+        pages_df(spark, 120, seed=seed, partitions=2) \
+            .write.mode("append").parquet(inp)
+        q = stream_encode_parquet_dir(spark, inp, out, ckpt,
+                                      PAGES_SCHEMA)
+        q.awaitTermination(120)
+    small = spark.read.parquet(f"{out}/chunks")
+    n_small = small.select("chunk_id").distinct().count()
+    assert n_small >= 3  # at least one chunk set per micro-batch
+    compacted = compact_chunks(small, target_bytes=64 << 20).cache()
+    assert compacted.select("chunk_id").distinct().count() < n_small
+    n, bad = verify_roundtrip(compacted)
+    assert bad == 0 and n > 0
+    assert compacted.agg(F.sum("n_values")).collect()[0][0] == \
+        small.agg(F.sum("n_values")).collect()[0][0]
+    compacted.unpersist()

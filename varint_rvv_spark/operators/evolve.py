@@ -76,6 +76,57 @@ def _canon(t: str) -> str:
     return _CANON.get(t, t)
 
 
+def stored_table_schema(chunks: DataFrame,
+                        columns: list[str] | None = None) -> str:
+    """Infer a Spark schema string from the footer's logical types —
+    lets a reader decode a store it didn't write (jobs/decode_job.py).
+
+    One bounded driver action (one footer row per column).  Column
+    order follows `columns` when given, else sorted names (the footer
+    does not record the writer's column order).  Raises for columns
+    whose stored type the engine cannot name (nested children carry
+    their own tags; top-level list/struct/map are supported via the
+    logical tag only when the tag is self-describing).
+    """
+    rows = (chunks.select("column", "dtype_code", "logical_type")
+            .distinct().collect())
+    types: dict[str, str] = {}
+    for r in rows:
+        t = _stored_spark_type(int(r.dtype_code), r.logical_type)
+        if t is None:
+            t = _nested_spark_type(r.logical_type)
+        if t is None:
+            raise ValueError(
+                f"stored_table_schema: cannot name the Spark type of "
+                f"column {r.column!r} (stored logical "
+                f"{r.logical_type!r}) — pass an explicit schema to "
+                f"decode_table instead")
+        if r.column in types and types[r.column] != t:
+            raise ValueError(
+                f"stored_table_schema: column {r.column!r} has "
+                f"inconsistent stored types ({types[r.column]} vs {t})")
+        types[r.column] = t
+    names = columns if columns is not None else sorted(types)
+    missing = [c for c in names if c not in types]
+    if missing:
+        raise ValueError(f"stored_table_schema: no footer rows for "
+                         f"columns {missing}")
+    return ", ".join(f"{c} {types[c]}" for c in names)
+
+
+_LIST_CHILD_SPARK = {"float": "float", "double": "double",
+                     "int32": "int", "int64": "bigint",
+                     "string": "string", "large_string": "string",
+                     "binary": "binary", "large_binary": "binary"}
+
+
+def _nested_spark_type(logical: str) -> str | None:
+    if logical.startswith("list:"):
+        child = _LIST_CHILD_SPARK.get(logical.split(":", 1)[1])
+        return f"array<{child}>" if child else None
+    return None
+
+
 def decode_table_evolved(chunks: DataFrame, target_schema: str,
                          defaults: dict | None = None,
                          renames: dict[str, str] | None = None,
