@@ -209,6 +209,115 @@ WHERE md5(text) = (SELECT max(md5(text)) FROM documents)
 """
 
 
+def tpch_q22ish_dormant_rich(spark, sf_dir):
+    """TPC-H Q22 shape: scalar subquery (global average balance as a
+    broadcast crossJoin — no driver collect), NOT EXISTS anti-join
+    against orders, broadcast dimension join, aggregate.  At scale the
+    only wide exchange is the left_anti on o_custkey."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    avg_df = (cust.filter(F.col("c_acctbal") > 0.0)
+              .agg(F.avg("c_acctbal").alias("ab")))
+    rich = (cust.crossJoin(F.broadcast(avg_df))
+            .filter(F.col("c_acctbal") > F.col("ab")))
+    dormant = rich.join(orders,
+                        rich.c_custkey == orders.o_custkey, "left_anti")
+    return (dormant
+            .join(F.broadcast(nation),
+                  dormant.c_nationkey == nation.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.count("*").alias("n_cust"),
+                 F.round(F.sum("c_acctbal"), 2).alias("total_bal")))
+
+
+TPCH_Q22ISH_SQL = """
+SELECT n_name, COUNT(*) AS n_cust, ROUND(SUM(c_acctbal), 2) AS total_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                   WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY n_name
+"""
+
+
+def tpch_q16ish_supplier_variety(spark, sf_dir):
+    """TPC-H Q16 shape (partsupp substituted by the lineitem bridge):
+    excluded brand, size IN-list, count-distinct suppliers per
+    (brand, type).  Part dimension broadcasts; the count-distinct is
+    the only shuffle on the fact side."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    sel = part.filter((F.col("p_brand") != "Brand#3")
+                      & F.col("p_size").isin(5, 10, 15, 20))
+    return (li.join(F.broadcast(sel),
+                    li.l_partkey == sel.p_partkey)
+            .groupBy("p_brand", "p_type")
+            .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"),
+                 F.count("*").alias("n_lines")))
+
+
+TPCH_Q16ISH_SQL = """
+SELECT p_brand, p_type, COUNT(DISTINCT l_suppkey) AS supplier_cnt,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#3' AND p_size IN (5, 10, 15, 20)
+GROUP BY p_brand, p_type
+"""
+
+
+def tpch_q7ish_nation_trade(spark, sf_dir):
+    """TPC-H Q7 shape: supplier nation x customer nation revenue
+    matrix through lineitem->orders->customer, both nation dims
+    broadcast, yearly rollup."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(F.col("n_nationkey").alias("s_nk"),
+                       F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("c_nk"),
+                       F.col("n_name").alias("cust_nation"))
+    return (li
+            .join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+                  li.l_suppkey == F.col("s_suppkey"))
+            .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+            .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+            .filter(F.col("supp_nation") < F.col("cust_nation"))
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").alias("l_year"))
+            # per-row product cast to decimal(18,4) before summing:
+            # decimal addition is order-independent, so the fine-
+            # grained groups match the oracle bit-for-bit (plain
+            # double sums differ by a cent in ~0.5 % of groups, and a
+            # final ROUND(x, 2) re-introduces half-up/half-even tie
+            # skew on the .xx50 values — emit the exact 4-decimal sum)
+            .agg(F.sum((F.col("l_extendedprice")
+                        * (1 - F.col("l_discount")))
+                       .cast("decimal(18,4)"))
+                 .cast("double").alias("revenue")))
+
+
+TPCH_Q7ISH_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(YEAR(l_shipdate) AS INTEGER) AS l_year,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name < n2.n_name
+GROUP BY n1.n_name, n2.n_name, YEAR(l_shipdate)
+"""
+
+
 def rt_orders_in_list(spark, sf_dir):
     """IN-list point reads by order key on a hash-clustered layout:
     the integer eq blooms (operators/eqstats.py) prune chunks the
@@ -1830,6 +1939,9 @@ QUERIES = {
     "rt_events_pruned": rt_events_pruned,
     "rt_documents_source_pruned": rt_documents_source_pruned,
     "rt_documents_point_lookup": rt_documents_point_lookup,
+    "tpch_q22ish_dormant_rich": tpch_q22ish_dormant_rich,
+    "tpch_q16ish_supplier_variety": tpch_q16ish_supplier_variety,
+    "tpch_q7ish_nation_trade": tpch_q7ish_nation_trade,
     "rt_orders_in_list": rt_orders_in_list,
     "compact_small_chunks": compact_small_chunks,
     "schema_evolution_read": schema_evolution_read,
@@ -1884,6 +1996,9 @@ ORACLES = {
     "rt_events_pruned": RT_EVENTS_PRUNED_SQL,
     "rt_documents_source_pruned": RT_DOCS_SOURCE_PRUNED_SQL,
     "rt_documents_point_lookup": RT_DOCS_POINT_LOOKUP_SQL,
+    "tpch_q22ish_dormant_rich": TPCH_Q22ISH_SQL,
+    "tpch_q16ish_supplier_variety": TPCH_Q16ISH_SQL,
+    "tpch_q7ish_nation_trade": TPCH_Q7ISH_SQL,
     "rt_orders_in_list": RT_ORDERS_IN_LIST_SQL,
     "compact_small_chunks": COMPACT_SMALL_CHUNKS_SQL,
     "schema_evolution_read": SCHEMA_EVOLUTION_SQL,
