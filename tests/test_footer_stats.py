@@ -1,0 +1,44 @@
+"""Footer-only approximate percentiles (operators/footer_stats.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from varint_rvv_spark.operators.encode import encode_chunks
+from varint_rvv_spark.operators.footer_stats import footer_percentile
+
+EVENTS = "/root/testdata/sf0.001/events.parquet"
+
+
+def _rank_of(df, col, x) -> float:
+    n = df.count()
+    return df.filter(F.col(col) <= x).count() / n
+
+
+def test_footer_percentile_rank_error_bounded(spark):
+    df = spark.read.parquet(EVENTS)
+    chunks = encode_chunks(df, key_cols=["event_id"],
+                           num_chunks=16).cache()
+    est = footer_percentile(chunks, "value", [0.25, 0.5, 0.9]) \
+        .collect()[0]
+    # the estimate's true rank must sit near the requested quantile
+    for q, v in [(0.25, est.p25), (0.5, est.p50), (0.9, est.p90)]:
+        r = _rank_of(df, "value", v)
+        assert abs(r - q) < 0.08, (q, v, r)
+    # integer column too (epoch-us scale)
+    est2 = footer_percentile(chunks, "user_id", [0.5]).collect()[0]
+    r2 = _rank_of(df, "user_id", est2.p50)
+    assert abs(r2 - 0.5) < 0.08
+    chunks.unpersist()
+
+
+def test_footer_percentile_guards(spark):
+    df = spark.read.parquet(EVENTS).limit(50)
+    chunks = encode_chunks(df, key_cols=["event_id"],
+                           num_chunks=2).cache()
+    try:
+        with pytest.raises(ValueError, match="no footer samples"):
+            footer_percentile(chunks, "event_type", [0.5])  # varlen
+        with pytest.raises(ValueError, match="quantiles"):
+            footer_percentile(chunks, "value", [1.5])
+    finally:
+        chunks.unpersist()

@@ -119,6 +119,15 @@ def _append_column_row(rows: dict, chunk_id: int, col: str, arr,
                         abs(out_stats["vmax"]), 1) < (1 << 62):
                     out_stats["vsum"] = int(
                         values.sum(dtype=np.int64))
+                # strided value sample (≤32) → footer-only approximate
+                # percentiles (operators/footer_stats.py); row order
+                # inside a chunk is effectively arbitrary w.r.t. value
+                # rank, so the stride is a uniform-ish sample.  O(1)
+                # cost — no sort, no extra pass
+                if len(values) > 1:
+                    stride = max(len(values) // 32, 1)
+                    out_stats["qsample"] = sorted(
+                        cast(x) for x in values[::stride][:32])
     if (dt in B.NUMERIC_NP and B.NUMERIC_NP[dt].kind in "iu"
             and len(values)):
         from ..codecs.numeric import _as_u64
