@@ -122,3 +122,56 @@ def test_embeddings_roundtrip_has_exactly_one_shuffle(spark):
     out = decode_table(chunks, df.columns, TABLE_SCHEMAS["embeddings"],
                        contiguous=True)
     assert plan_of(out).count("Exchange") == 1
+
+
+def test_eq_prune_qualifier_join_is_broadcast(spark, pages):
+    """prune_chunks_eq: the qualifying-chunk semi-join must broadcast
+    the (tiny) footer-derived id set, never shuffle the chunk rows."""
+    from varint_rvv_spark.operators.decode import prune_chunks_eq
+
+    chunks = encode_chunks_scan(pages).cache()
+    try:
+        plan = plan_of(prune_chunks_eq(chunks, "lang", "en"))
+        assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+        # the only exchange is the broadcast itself
+        assert plan.count("Exchange") == plan.count("BroadcastExchange")
+    finally:
+        chunks.unpersist()
+
+
+def test_compact_assignment_join_is_broadcast(spark, pages):
+    """compact_chunks: bin assignment (footer metadata) broadcasts to
+    the payload side; the only wide shuffle is the grouped re-encode."""
+    from varint_rvv_spark.operators.compact import compact_chunks
+
+    chunks = encode_chunks_scan(pages).cache()
+    try:
+        plan = plan_of(compact_chunks(chunks, target_bytes=1 << 20))
+        assert "BroadcastHashJoin" in plan
+        # wide exchanges: the groupBy(bin) that co-locates payload
+        # bytes (compaction's defining data motion) plus two
+        # metadata-scale ones (per-chunk size agg, bin window) that
+        # never see payloads — payload columns must not appear in
+        # more than the one co-location exchange
+        wide = plan.count("Exchange") - plan.count("BroadcastExchange")
+        assert wide <= 3, plan
+    finally:
+        chunks.unpersist()
+
+
+def test_span_dup_coverage_shingles_stay_map_side(spark):
+    """span_dup_coverage: shingle construction must not shuffle —
+    the first exchange in the plan is the groupBy(shingle) partial
+    aggregate, so everything upstream is scan-side compute."""
+    from varint_rvv_spark.operators.dedup import span_dup_coverage
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "c d e f g")], "doc_id long, text string")
+    plan = plan_of(span_dup_coverage(df, "doc_id", "text"))
+    # partial aggregation before every exchange (map-side combine)
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert "Generate explode" in plan or "Generate" in plan
+    # shingle explode happens below (before) the first exchange
+    first_exchange = plan.index("Exchange")
+    assert "Generate" in plan[first_exchange:], \
+        "explode must feed the aggregate without a pre-shuffle"

@@ -174,8 +174,9 @@ def prune_chunks(chunks: DataFrame, column: str,
         overlap = overlap & (vmax.isNull() | (vmax >= F.lit(float(lo))))
     if hi is not None:
         overlap = overlap & (vmin.isNull() | (vmin <= F.lit(float(hi))))
-    qual = (col_rows.filter(overlap)
-            .select("chunk_id").distinct())
+    # no .distinct(): a semi-join build side tolerates duplicate ids,
+    # and the dedup would add a pointless (if tiny) exchange
+    qual = col_rows.filter(overlap).select("chunk_id")
     return chunks.join(F.broadcast(qual), "chunk_id", "left_semi")
 
 
@@ -206,7 +207,7 @@ def prune_chunks_eq(chunks: DataFrame, column: str, value) -> DataFrame:
     """
     qual = (_eq_col_rows(chunks, column, "prune_chunks_eq")
             .filter(_eq_may_contain(value))
-            .select("chunk_id").distinct())
+            .select("chunk_id"))
     return chunks.join(F.broadcast(qual), "chunk_id", "left_semi")
 
 
@@ -228,7 +229,7 @@ def prune_chunks_in(chunks: DataFrame, column: str, values,
     cond = _eq_may_contain(vals[0])
     for v in vals[1:]:
         cond = cond | _eq_may_contain(v)
-    qual = col_rows.filter(cond).select("chunk_id").distinct()
+    qual = col_rows.filter(cond).select("chunk_id")
     return chunks.join(F.broadcast(qual), "chunk_id", "left_semi")
 
 
