@@ -1,0 +1,70 @@
+"""Temporal operators: as-of join + sessionization (temporal.py)."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from varint_rvv_spark.operators.temporal import asof_join, sessionize
+
+
+def _ts(m):
+    return datetime(2024, 1, 1, 0, m)
+
+
+def test_asof_join_planted(spark):
+    probe = spark.createDataFrame(
+        [(1, _ts(5), "a"), (1, _ts(10), "b"), (1, _ts(20), "c"),
+         (2, _ts(7), "d"), (3, _ts(9), "e")],
+        "uid long, ts timestamp, tag string")
+    build = spark.createDataFrame(
+        [(1, _ts(5), 50.0), (1, _ts(15), 150.0), (2, _ts(8), 80.0)],
+        "uid long, ts timestamp, px double")
+    out = {r.tag: (r.asof_ts, r.asof_px) for r in
+           asof_join(probe, build, "uid", "ts", ["px"]).collect()}
+    assert out["a"] == (_ts(5), 50.0)     # equal ts matches (>= semantics)
+    assert out["b"] == (_ts(5), 50.0)     # latest at-or-before
+    assert out["c"] == (_ts(15), 150.0)
+    assert out["d"] == (None, None)       # build row is after the probe
+    assert out["e"] == (None, None)       # key with no build rows at all
+
+
+def test_asof_join_matches_naive_oracle(spark):
+    """Window-plan result == the quadratic groupBy-max definition on a
+    random-ish grid."""
+    rows = [(i % 5, _ts((i * 7) % 59), float(i)) for i in range(80)]
+    probe = spark.createDataFrame(rows, "uid long, ts timestamp, v double")
+    build = spark.createDataFrame(
+        [(i % 5, _ts((i * 11) % 59), float(100 + i)) for i in range(40)],
+        "uid long, ts timestamp, px double").groupBy("uid", "ts").agg(
+        F.max("px").alias("px"))
+    got = asof_join(probe, build, "uid", "ts", ["px"])
+    naive = (probe.alias("p")
+             .join(build.alias("b"),
+                   (F.col("p.uid") == F.col("b.uid"))
+                   & (F.col("p.ts") >= F.col("b.ts")), "left")
+             .groupBy("p.uid", "p.ts", "p.v")
+             .agg(F.max(F.struct("b.ts", "b.px")).alias("m"))
+             .select(F.col("uid"), F.col("ts"), F.col("v"),
+                     F.col("m.ts").alias("asof_ts"),
+                     F.col("m.px").alias("asof_px")))
+    a = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, naive.collect()))
+    assert a == b
+
+
+def test_sessionize_planted(spark):
+    df = spark.createDataFrame(
+        [(1, _ts(0)), (1, _ts(10)), (1, _ts(50)),   # gap 40' opens s1
+         (1, _ts(55)), (2, _ts(3))],
+        "uid long, ts timestamp")
+    out = sessionize(df, "uid", "ts", gap="30 minutes")
+    got = {(r.uid, r.ts.minute): r.session_id for r in out.collect()}
+    assert got == {(1, 0): 0, (1, 10): 0, (1, 50): 1, (1, 55): 1,
+                   (2, 3): 0}
+    # a gap of exactly `gap` does NOT open a session (strict >)
+    df2 = spark.createDataFrame([(1, _ts(0)), (1, _ts(30))],
+                                "uid long, ts timestamp")
+    vals = {r.ts.minute: r.session_id
+            for r in sessionize(df2, "uid", "ts",
+                                gap="30 minutes").collect()}
+    assert vals == {0: 0, 30: 0}

@@ -1,0 +1,81 @@
+"""Temporal relational operators: as-of join and sessionization.
+
+Spark has no native ASOF JOIN (DuckDB/kdb/pandas do); the naive
+emulations — a range join (quadratic per key) or a groupBy-max
+subquery per probe — fall over at scale.  `asof_join` uses the
+union + running-window carry-forward pattern instead:
+
+    probe ∪ build  →  one shuffle on the key  →  per-key running
+    `last(build_payload, ignorenulls)` over (ts, side) order  →
+    filter back to probe rows
+
+Cost: ONE hash exchange of probe+build and a running (streaming)
+window frame — no range explosion, no per-probe subquery, bounded
+memory per task regardless of key history length.  Ties at equal ts
+order build before probe, giving the standard `probe.ts >= build.ts`
+(backward) inclusive semantics.
+
+`sessionize` is the classic gap-based session assignment: a lag
+window marks gap-opens, a running sum turns marks into session ids —
+two window passes over one shuffle on the key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(probe: DataFrame, build: DataFrame, key: str,
+              ts_col: str, value_cols: list[str],
+              prefix: str = "asof_") -> DataFrame:
+    """Left as-of join: each probe row gains the latest build row (of
+    the same `key`) with build.ts <= probe.ts, as columns
+    `<prefix><ts_col>` and `<prefix><value_col>` (NULL when no build
+    row precedes the probe).
+
+    `build` should be unique per (key, ts) — pre-aggregate if not, or
+    which of the tied rows wins is partition-order-dependent.
+    """
+    bcols = [key, ts_col, *value_cols]
+    payload = F.struct(*[F.col(c) for c in [ts_col, *value_cols]])
+    b = (build.select(*bcols)
+         .withColumn("_side", F.lit(0))
+         .withColumn("_asof", payload))
+    extra = [c for c in probe.columns if c not in (key, ts_col)]
+    p = (probe
+         .withColumn("_side", F.lit(1))
+         .withColumn("_asof", F.lit(None).cast(
+             b.schema["_asof"].dataType.simpleString())))
+    for c in extra:
+        b = b.withColumn(c, F.lit(None).cast(probe.schema[c].dataType))
+    b = b.select(p.columns)
+    w = (Window.partitionBy(key).orderBy(ts_col, "_side")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    joined = (p.unionByName(b)
+              .withColumn("_m", F.last("_asof", ignorenulls=True).over(w))
+              .filter(F.col("_side") == 1))
+    out = joined.select(
+        *probe.columns,
+        F.col(f"_m.{ts_col}").alias(f"{prefix}{ts_col}"),
+        *[F.col(f"_m.{c}").alias(f"{prefix}{c}") for c in value_cols])
+    return out
+
+
+def sessionize(df: DataFrame, key: str, ts_col: str,
+               gap: str = "30 minutes",
+               out_col: str = "session_id") -> DataFrame:
+    """Gap-based sessions: a new session opens when the time since the
+    key's previous event exceeds `gap` (an INTERVAL literal).  Adds
+    `out_col` = 0-based session index per key.  One shuffle on the
+    key, two running window passes."""
+    w = Window.partitionBy(key).orderBy(ts_col)
+    prev = F.lag(ts_col).over(w)
+    opens = F.when(
+        prev.isNull()
+        | (F.col(ts_col) > prev + F.expr(f"INTERVAL {gap}")), 1
+    ).otherwise(0)
+    run = (Window.partitionBy(key).orderBy(ts_col)
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (df.withColumn("_open", opens)
+            .withColumn(out_col, F.sum("_open").over(run) - 1)
+            .drop("_open"))

@@ -209,6 +209,86 @@ WHERE md5(text) = (SELECT max(md5(text)) FROM documents)
 """
 
 
+def events_asof_purchase(spark, sf_dir):
+    """As-of join (operators/temporal.py): each click event gains the
+    user's latest at-or-before purchase via the union + running-window
+    carry-forward plan (one shuffle, no range explosion); oracle is
+    DuckDB's native ASOF LEFT JOIN."""
+    from .operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    probe = ev.filter(F.col("event_type") == "click")
+    build = (ev.filter(F.col("event_type") == "purchase")
+             .groupBy("user_id", "ts")
+             .agg(F.max("value").alias("value")))
+    j = asof_join(probe, build, "user_id", "ts", ["value"])
+    # decimal-sum the per-row deltas so the average is summation-
+    # order-independent (matches the oracle exactly; see q7ish note)
+    delta = (F.col("value") - F.col("asof_value")).cast("decimal(18,6)")
+    return (j.groupBy("user_id")
+            .agg(F.count("*").alias("n_clicks"),
+                 F.count("asof_ts").alias("n_matched"),
+                 F.round(F.try_divide(F.sum(delta).cast("double"),
+                                      F.count("asof_ts")), 4)
+                 .alias("avg_delta")))
+
+
+EVENTS_ASOF_SQL = """
+WITH p AS (SELECT * FROM events WHERE event_type = 'click'),
+     b AS (SELECT user_id, ts, MAX(value) AS value FROM events
+           WHERE event_type = 'purchase' GROUP BY user_id, ts)
+SELECT p.user_id, COUNT(*) AS n_clicks, COUNT(b.ts) AS n_matched,
+       ROUND(CAST(SUM(CAST(p.value - b.value AS DECIMAL(18,6)))
+                  AS DOUBLE) / NULLIF(COUNT(b.ts), 0), 4) AS avg_delta
+FROM p ASOF LEFT JOIN b ON p.user_id = b.user_id AND p.ts >= b.ts
+GROUP BY p.user_id
+"""
+
+
+def events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-minute inactivity): lag-marked
+    session opens + running-sum ids (operators/temporal.py), rolled up
+    to per-user session stats."""
+    from .operators.temporal import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, "user_id", "ts", gap="30 minutes")
+    per = (s.groupBy("user_id", "session_id")
+           .agg(F.count("*").alias("n_events"),
+                # parquet ts may arrive as NTZ; session tz is UTC so
+                # the cast is a metadata-only epoch alignment
+                (F.unix_micros(F.max("ts").cast("timestamp"))
+                 - F.unix_micros(F.min("ts").cast("timestamp")))
+                .alias("dur_us")))
+    return (per.groupBy("user_id")
+            .agg(F.count("*").alias("n_sessions"),
+                 F.max("n_events").alias("max_events"),
+                 F.sum("dur_us").alias("total_dur_us")))
+
+
+EVENTS_SESSIONIZE_SQL = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS op
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+sess AS (
+  SELECT user_id, ts,
+         SUM(op) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM marked),
+per AS (
+  SELECT user_id, session_id, COUNT(*) AS n_events,
+         epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us
+  FROM sess GROUP BY 1, 2)
+SELECT user_id, COUNT(*) AS n_sessions, MAX(n_events) AS max_events,
+       CAST(SUM(dur_us) AS BIGINT) AS total_dur_us
+FROM per GROUP BY user_id
+"""
+
+
 def tpch_q22ish_dormant_rich(spark, sf_dir):
     """TPC-H Q22 shape: scalar subquery (global average balance as a
     broadcast crossJoin — no driver collect), NOT EXISTS anti-join
@@ -1939,6 +2019,8 @@ QUERIES = {
     "rt_events_pruned": rt_events_pruned,
     "rt_documents_source_pruned": rt_documents_source_pruned,
     "rt_documents_point_lookup": rt_documents_point_lookup,
+    "events_asof_purchase": events_asof_purchase,
+    "events_sessionize": events_sessionize,
     "tpch_q22ish_dormant_rich": tpch_q22ish_dormant_rich,
     "tpch_q16ish_supplier_variety": tpch_q16ish_supplier_variety,
     "tpch_q7ish_nation_trade": tpch_q7ish_nation_trade,
@@ -1996,6 +2078,8 @@ ORACLES = {
     "rt_events_pruned": RT_EVENTS_PRUNED_SQL,
     "rt_documents_source_pruned": RT_DOCS_SOURCE_PRUNED_SQL,
     "rt_documents_point_lookup": RT_DOCS_POINT_LOOKUP_SQL,
+    "events_asof_purchase": EVENTS_ASOF_SQL,
+    "events_sessionize": EVENTS_SESSIONIZE_SQL,
     "tpch_q22ish_dormant_rich": TPCH_Q22ISH_SQL,
     "tpch_q16ish_supplier_variety": TPCH_Q16ISH_SQL,
     "tpch_q7ish_nation_trade": TPCH_Q7ISH_SQL,
