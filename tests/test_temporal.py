@@ -68,3 +68,37 @@ def test_sessionize_planted(spark):
             for r in sessionize(df2, "uid", "ts",
                                 gap="30 minutes").collect()}
     assert vals == {0: 0, 30: 0}
+
+
+def test_range_join_planted(spark):
+    from varint_rvv_spark.operators.temporal import range_join
+
+    pts = spark.createDataFrame(
+        [(1, _ts(5), "a"), (1, _ts(30), "b"), (1, _ts(59), "c"),
+         (2, _ts(5), "d")],
+        "uid long, ts timestamp, tag string")
+    iv = spark.createDataFrame(
+        [(1, _ts(0), _ts(30), "w1"),     # inclusive end catches b
+         (1, _ts(25), _ts(58), "w2"),    # overlapping intervals both match
+         (2, _ts(6), _ts(10), "w3")],    # starts after the only point
+        "uid long, s timestamp, e timestamp, name string")
+    out = range_join(pts, iv, "uid", "ts", "s", "e",
+                     bucket_us=10 * 60 * 1_000_000)
+    got = sorted((r.tag, r.name) for r in out.collect())
+    assert got == [("a", "w1"), ("b", "w1"), ("b", "w2")]
+    import pytest as _pt
+    with _pt.raises(ValueError, match="ambiguous"):
+        range_join(pts, pts.withColumnRenamed("uid", "u2"),
+                   "tag", "ts", "ts", "ts")
+
+
+def test_range_join_query_nonempty_and_hash_joined(spark):
+    """The contract query actually exercises the join (non-empty at
+    sf0.01) and the plan is a hash/sort-merge equi-join, never a
+    nested-loop."""
+    from varint_rvv_spark.queries import events_range_join_sessions
+
+    df = events_range_join_sessions(spark, "/root/testdata/sf0.01")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan
+    assert df.count() > 10

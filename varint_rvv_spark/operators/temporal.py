@@ -79,3 +79,46 @@ def sessionize(df: DataFrame, key: str, ts_col: str,
     return (df.withColumn("_open", opens)
             .withColumn(out_col, F.sum("_open").over(run) - 1)
             .drop("_open"))
+
+
+def range_join(points: DataFrame, intervals: DataFrame, key: str,
+               ts_col: str, start_col: str, end_col: str,
+               bucket_us: int = 3_600_000_000) -> DataFrame:
+    """Interval containment join: every (point, interval) pair with the
+    same `key` and start <= ts <= end (inclusive, multiple matches
+    kept).
+
+    Spark's optimizer turns a plain `ts BETWEEN start AND end` join
+    into BroadcastNestedLoopJoin (quadratic per key) unless one side
+    broadcasts.  This re-expression bucketizes time instead: points
+    land in one fixed-width bucket, intervals explode into the buckets
+    they cover, and the join becomes a hash equi-join on (key, bucket)
+    with a residual containment filter — the standard scale pattern
+    (cost ~ points + intervals x avg_span/bucket, never points x
+    intervals).  Pick `bucket_us` near the median interval length:
+    too small explodes intervals, too large fattens the residual.
+
+    Each (point, interval) pair matches in exactly one bucket (the
+    point's), so no post-join dedup is needed.  Column names other
+    than `key` must be disjoint between the two inputs.
+    """
+    if bucket_us <= 0:
+        raise ValueError("range_join: bucket_us must be positive")
+    overlap = (set(points.columns) & set(intervals.columns)) - {key}
+    if overlap:
+        raise ValueError(f"range_join: ambiguous columns {sorted(overlap)}"
+                         f" — rename one side")
+    us = F.lit(int(bucket_us))
+    p = points.withColumn(
+        "_bin", F.floor(F.unix_micros(F.col(ts_col).cast("timestamp"))
+                        / us))
+    i = intervals.withColumn(
+        "_bin", F.explode(F.sequence(
+            F.floor(F.unix_micros(F.col(start_col).cast("timestamp"))
+                    / us),
+            F.floor(F.unix_micros(F.col(end_col).cast("timestamp"))
+                    / us))))
+    return (p.join(i, [key, "_bin"])
+            .filter((F.col(ts_col) >= F.col(start_col))
+                    & (F.col(ts_col) <= F.col(end_col)))
+            .drop("_bin"))

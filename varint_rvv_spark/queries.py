@@ -289,6 +289,57 @@ FROM per GROUP BY user_id
 """
 
 
+def events_range_join_sessions(spark, sf_dir):
+    """Range (interval-containment) join via time bucketization
+    (operators/temporal.py::range_join): purchase sessions (2-day gap)
+    become [start, end] intervals, error events land in 1-day buckets,
+    and the containment join runs as a hash equi-join on
+    (user, bucket) + residual filter — never the
+    BroadcastNestedLoopJoin a plain BETWEEN join degenerates to."""
+    from .operators.temporal import range_join, sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    purch = (ev.filter(F.col("event_type") == "purchase")
+             .select("user_id", "ts"))
+    sess = (sessionize(purch, "user_id", "ts", gap="2 days")
+            .groupBy("user_id", "session_id")
+            .agg(F.min("ts").alias("s_start"),
+                 F.max("ts").alias("s_end")))
+    errors = (ev.filter(F.col("event_type") == "error")
+              .select("user_id", "ts"))
+    rj = range_join(errors, sess, "user_id", "ts", "s_start", "s_end",
+                    bucket_us=86_400_000_000)
+    return (rj.groupBy("user_id")
+            .agg(F.count("*").alias("n_hits"),
+                 F.count_distinct("session_id").alias("n_sessions_hit")))
+
+
+EVENTS_RANGE_JOIN_SQL = """
+WITH purch AS (SELECT user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts > lag(ts) OVER w + INTERVAL 2 DAY
+              THEN 1 ELSE 0 END AS op
+  FROM purch WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+sess AS (
+  SELECT user_id, ts,
+         SUM(op) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM marked),
+iv AS (SELECT user_id, session_id, MIN(ts) AS s_start,
+              MAX(ts) AS s_end
+       FROM sess GROUP BY 1, 2),
+err AS (SELECT user_id, ts FROM events WHERE event_type = 'error')
+SELECT e.user_id, COUNT(*) AS n_hits,
+       COUNT(DISTINCT session_id) AS n_sessions_hit
+FROM err e JOIN iv ON e.user_id = iv.user_id
+                  AND e.ts BETWEEN iv.s_start AND iv.s_end
+GROUP BY e.user_id
+"""
+
+
 def tpch_q22ish_dormant_rich(spark, sf_dir):
     """TPC-H Q22 shape: scalar subquery (global average balance as a
     broadcast crossJoin — no driver collect), NOT EXISTS anti-join
@@ -2021,6 +2072,7 @@ QUERIES = {
     "rt_documents_point_lookup": rt_documents_point_lookup,
     "events_asof_purchase": events_asof_purchase,
     "events_sessionize": events_sessionize,
+    "events_range_join_sessions": events_range_join_sessions,
     "tpch_q22ish_dormant_rich": tpch_q22ish_dormant_rich,
     "tpch_q16ish_supplier_variety": tpch_q16ish_supplier_variety,
     "tpch_q7ish_nation_trade": tpch_q7ish_nation_trade,
@@ -2080,6 +2132,7 @@ ORACLES = {
     "rt_documents_point_lookup": RT_DOCS_POINT_LOOKUP_SQL,
     "events_asof_purchase": EVENTS_ASOF_SQL,
     "events_sessionize": EVENTS_SESSIONIZE_SQL,
+    "events_range_join_sessions": EVENTS_RANGE_JOIN_SQL,
     "tpch_q22ish_dormant_rich": TPCH_Q22ISH_SQL,
     "tpch_q16ish_supplier_variety": TPCH_Q16ISH_SQL,
     "tpch_q7ish_nation_trade": TPCH_Q7ISH_SQL,
