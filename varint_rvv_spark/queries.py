@@ -340,6 +340,102 @@ GROUP BY e.user_id
 """
 
 
+def events_pivot_daily(spark, sf_dir):
+    """Pivot: event counts per day x event_type as columns.  The type
+    list is declared (the five known types), so the pivot compiles to
+    a single-pass conditional aggregation — no two-phase distinct scan
+    at 100 TB; the oracle expresses the same as CASE sums."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (ev.groupBy(F.to_date("ts").alias("day"))
+            .pivot("event_type", types)
+            .agg(F.count(F.lit(1)))
+            .na.fill(0, types)
+            .select(F.col("day").cast("string").alias("day"), *types))
+
+
+EVENTS_PIVOT_SQL = """
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+            AS BIGINT) AS click,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+            AS BIGINT) AS error,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+            AS BIGINT) AS signup,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+            AS BIGINT) AS view
+FROM events GROUP BY 1
+"""
+
+
+def text_pii_mask(spark, sf_dir):
+    """Text-cleaning op: mask email-like and long-digit-run tokens
+    (the standard pre-training PII scrub shape), report per-source
+    replacement counts and the masked corpus size.  Pure JVM regex —
+    map-side at any scale."""
+    d = _t(spark, sf_dir, "documents")
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    digits = r"\d{6,}"
+    masked = (d.withColumn(
+        "clean", F.regexp_replace(
+            F.regexp_replace("text", email, "<EMAIL>"),
+            digits, "<NUM>")))
+    n_email = F.size(F.regexp_extract_all("text", F.lit(email)))
+    n_digit = F.size(F.regexp_extract_all("text", F.lit(digits)))
+    return (masked
+            .groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(n_email).alias("n_emails_masked"),
+                 F.sum(n_digit).alias("n_numruns_masked"),
+                 F.sum(F.length("clean")).alias("masked_chars")))
+
+
+TEXT_PII_MASK_SQL = r"""
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(len(regexp_extract_all(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')))
+            AS BIGINT) AS n_emails_masked,
+       CAST(SUM(len(regexp_extract_all(text, '\d{6,}')))
+            AS BIGINT) AS n_numruns_masked,
+       CAST(SUM(len(regexp_replace(regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+            '<EMAIL>', 'g'), '\d{6,}', '<NUM>', 'g')))
+            AS BIGINT) AS masked_chars
+FROM documents GROUP BY source
+"""
+
+
+def text_vocab_topk(spark, sf_dir):
+    """Vocabulary building: top-50 corpus tokens by total frequency
+    (ties broken lexicographically), with document frequency — the
+    tokenizer-training precursor.  One explode + one partial-agg
+    groupBy; the top-k is a global sort of the (bounded) vocabulary
+    table, not of token occurrences."""
+    d = _t(spark, sf_dir, "documents")
+    toks = (d.select("doc_id",
+                     F.explode(F.split(F.trim("text"), r"\s+"))
+                     .alias("tok"))
+            .filter(F.col("tok") != ""))
+    vocab = (toks.groupBy("tok")
+             .agg(F.count("*").alias("tf"),
+                  F.count_distinct("doc_id").alias("df")))
+    return (vocab.orderBy(F.desc("tf"), F.asc("tok")).limit(50))
+
+
+TEXT_VOCAB_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, t.tok
+  FROM documents,
+       UNNEST(string_split_regex(trim(text), '\s+')) AS t(tok)
+  WHERE t.tok <> '')
+SELECT tok, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+FROM toks GROUP BY tok
+ORDER BY tf DESC, tok ASC LIMIT 50
+"""
+
+
 def tpch_q22ish_dormant_rich(spark, sf_dir):
     """TPC-H Q22 shape: scalar subquery (global average balance as a
     broadcast crossJoin — no driver collect), NOT EXISTS anti-join
@@ -2073,6 +2169,9 @@ QUERIES = {
     "events_asof_purchase": events_asof_purchase,
     "events_sessionize": events_sessionize,
     "events_range_join_sessions": events_range_join_sessions,
+    "events_pivot_daily": events_pivot_daily,
+    "text_pii_mask": text_pii_mask,
+    "text_vocab_topk": text_vocab_topk,
     "tpch_q22ish_dormant_rich": tpch_q22ish_dormant_rich,
     "tpch_q16ish_supplier_variety": tpch_q16ish_supplier_variety,
     "tpch_q7ish_nation_trade": tpch_q7ish_nation_trade,
@@ -2133,6 +2232,9 @@ ORACLES = {
     "events_asof_purchase": EVENTS_ASOF_SQL,
     "events_sessionize": EVENTS_SESSIONIZE_SQL,
     "events_range_join_sessions": EVENTS_RANGE_JOIN_SQL,
+    "events_pivot_daily": EVENTS_PIVOT_SQL,
+    "text_pii_mask": TEXT_PII_MASK_SQL,
+    "text_vocab_topk": TEXT_VOCAB_SQL,
     "tpch_q22ish_dormant_rich": TPCH_Q22ISH_SQL,
     "tpch_q16ish_supplier_variety": TPCH_Q16ISH_SQL,
     "tpch_q7ish_nation_trade": TPCH_Q7ISH_SQL,
