@@ -173,3 +173,38 @@ def test_prune_chunks_in_list(spark):
     with pytest.raises(ValueError, match="empty probe list"):
         prune_chunks_in(chunks, "doc_id", [])
     chunks.unpersist()
+
+
+def test_zorder_two_dimension_pruning(spark):
+    """Z-order clustering keeps BOTH dimensions' zone maps selective:
+    a 2-D box predicate prunes strictly better than half the chunks,
+    and drops none that matter (answer equals the unpruned decode)."""
+    from varint_rvv_spark.operators.decode import prune_chunks
+    from varint_rvv_spark.operators.encode import encode_chunks_zorder
+
+    df = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+          .withColumn("ts_us",
+                      F.unix_micros(F.col("ts").cast("timestamp")))
+          .select("event_id", "user_id", "ts_us"))
+    chunks = encode_chunks_zorder(df, ["user_id", "ts_us"],
+                                  num_partitions=4,
+                                  rows_per_chunk=64).cache()
+    total = chunks.select("chunk_id").distinct().count()
+    lo, hi = 1704844800000000, 1705449600000000
+    pruned = prune_chunks(
+        prune_chunks(chunks, "user_id", 10, 19),
+        "ts_us", lo, hi - 1)
+    kept = pruned.select("chunk_id").distinct().count()
+    assert kept < total / 2, (kept, total)
+
+    def agg(ch):
+        d = decode_table(ch, df.columns,
+                         "event_id long, user_id long, ts_us long",
+                         contiguous=True)
+        return tuple(d.filter(F.col("user_id").between(10, 19)
+                              & (F.col("ts_us") >= lo)
+                              & (F.col("ts_us") < hi))
+                     .agg(F.count("*"), F.sum("event_id")).collect()[0])
+
+    assert agg(pruned) == agg(chunks)
+    chunks.unpersist()

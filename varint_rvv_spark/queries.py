@@ -150,6 +150,45 @@ WHERE epoch_us(ts) >= 1704844800000000
 """
 
 
+def rt_events_zorder_pruned(spark, sf_dir):
+    """Z-order-clustered round-trip: events Morton-clustered on
+    (user_id, ts), so BOTH dimensions' zone maps stay tight and
+    prune_chunks composes across them (encode_chunks_zorder) — the
+    multi-dimension pruning mode single-column range clustering
+    cannot give.  Oracle is the plain two-predicate WHERE."""
+    from .operators.decode import prune_chunks
+    from .operators.encode import encode_chunks_zorder
+
+    lo_us, hi_us = 1704844800000000, 1705449600000000
+    df = (_t(spark, sf_dir, "events")
+          .withColumn("ts_us",
+                      F.unix_micros(F.col("ts").cast("timestamp")))
+          .select("event_id", "user_id", "ts_us", "value"))
+    chunks = encode_chunks_zorder(df, ["user_id", "ts_us"],
+                                  num_partitions=8,
+                                  rows_per_chunk=512).cache()
+    pruned = prune_chunks(chunks, "user_id", 10, 19)
+    pruned = prune_chunks(pruned, "ts_us", lo_us, hi_us - 1)
+    d = decode_table(pruned, df.columns,
+                     "event_id long, user_id long, ts_us long, "
+                     "value double", contiguous=True)
+    d = d.filter(F.col("user_id").between(10, 19)
+                 & (F.col("ts_us") >= lo_us) & (F.col("ts_us") < hi_us))
+    return d.agg(F.count("*").alias("n_events"),
+                 F.sum("event_id").alias("sum_ids"),
+                 F.round(F.sum("value"), 4).alias("sum_value"))
+
+
+RT_EVENTS_ZORDER_SQL = """
+SELECT COUNT(*) AS n_events, CAST(SUM(event_id) AS BIGINT) AS sum_ids,
+       ROUND(SUM(value), 4) AS sum_value
+FROM events
+WHERE user_id BETWEEN 10 AND 19
+  AND epoch_us(ts) >= 1704844800000000
+  AND epoch_us(ts) < 1705449600000000
+"""
+
+
 def rt_documents_source_pruned(spark, sf_dir):
     """Equality-pruned round-trip (categorical twin of
     rt_events_pruned): source-clustered chunks, footer dvset/bloom
@@ -2164,6 +2203,7 @@ QUERIES = {
     "text_quality_by_lang": text_quality_by_lang,
     "rt_events_scanmode": rt_events_scanmode,
     "rt_events_pruned": rt_events_pruned,
+    "rt_events_zorder_pruned": rt_events_zorder_pruned,
     "rt_documents_source_pruned": rt_documents_source_pruned,
     "rt_documents_point_lookup": rt_documents_point_lookup,
     "events_asof_purchase": events_asof_purchase,
@@ -2227,6 +2267,7 @@ ORACLES = {
     "text_quality_by_lang": TEXT_QUALITY_SQL,
     "rt_events_scanmode": RT_EVENTS_SCANMODE_SQL,
     "rt_events_pruned": RT_EVENTS_PRUNED_SQL,
+    "rt_events_zorder_pruned": RT_EVENTS_ZORDER_SQL,
     "rt_documents_source_pruned": RT_DOCS_SOURCE_PRUNED_SQL,
     "rt_documents_point_lookup": RT_DOCS_POINT_LOOKUP_SQL,
     "events_asof_purchase": EVENTS_ASOF_SQL,
