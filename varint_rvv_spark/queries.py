@@ -1355,6 +1355,60 @@ GROUP BY lang
 """
 
 
+def sample_stratified_by_quality(spark, sf_dir):
+    """Stratified deterministic sampling — the data-mixing primitive:
+    per-stratum keep rates (here: keep 60% of long documents, 15% of
+    short ones) applied via the same executor-independent md5 bucket,
+    so the mix is reproducible and resumable at any scale."""
+    from .functions import md5_bucket
+
+    d = _t(spark, sf_dir, "documents")
+    rate = F.when(F.col("n_chars") >= 500, F.lit(60)).otherwise(F.lit(15))
+    return (d.filter(md5_bucket("doc_id", 100) < rate)
+            .groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("doc_id").alias("sum_ids"),
+                 F.sum(F.when(F.col("n_chars") >= 500, 1).otherwise(0))
+                 .alias("n_long")))
+
+
+SAMPLE_STRATIFIED_SQL = """
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+       CAST(SUM(CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_long
+FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      % 100 < (CASE WHEN n_chars >= 500 THEN 60 ELSE 15 END)
+GROUP BY source
+"""
+
+
+def orders_cube(spark, sf_dir):
+    """CUBE aggregate (all 2^k grouping-set combinations) with
+    order-independent decimal money sums; NULL grouping slots rendered
+    as 'ALL' (inputs are non-null, so the coalesce is unambiguous)."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.cube("o_orderstatus", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 .cast("double").alias("total"))
+            .select(F.coalesce("o_orderstatus", F.lit("ALL"))
+                    .alias("status"),
+                    F.coalesce("o_orderpriority", F.lit("ALL"))
+                    .alias("priority"),
+                    "n", "total"))
+
+
+ORDERS_CUBE_SQL = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
 def dedup_simhash(spark, sf_dir):
     """60-bit SimHash fingerprints for a deterministic doc subset."""
     from .operators.dedup import simhash64
@@ -2212,6 +2266,8 @@ QUERIES = {
     "events_pivot_daily": events_pivot_daily,
     "text_pii_mask": text_pii_mask,
     "text_vocab_topk": text_vocab_topk,
+    "sample_stratified_by_quality": sample_stratified_by_quality,
+    "orders_cube": orders_cube,
     "tpch_q22ish_dormant_rich": tpch_q22ish_dormant_rich,
     "tpch_q16ish_supplier_variety": tpch_q16ish_supplier_variety,
     "tpch_q7ish_nation_trade": tpch_q7ish_nation_trade,
@@ -2276,6 +2332,8 @@ ORACLES = {
     "events_pivot_daily": EVENTS_PIVOT_SQL,
     "text_pii_mask": TEXT_PII_MASK_SQL,
     "text_vocab_topk": TEXT_VOCAB_SQL,
+    "sample_stratified_by_quality": SAMPLE_STRATIFIED_SQL,
+    "orders_cube": ORDERS_CUBE_SQL,
     "tpch_q22ish_dormant_rich": TPCH_Q22ISH_SQL,
     "tpch_q16ish_supplier_variety": TPCH_Q16ISH_SQL,
     "tpch_q7ish_nation_trade": TPCH_Q7ISH_SQL,
