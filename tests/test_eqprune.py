@@ -111,28 +111,34 @@ def test_eqstats_numeric_dvset_and_bloom():
 
     from varint_rvv_spark.operators.eqstats import (
         build_eq_stats_numeric,
-        int_key_bytes,
+        int_bloom_positions,
     )
+
+    def in_bloom(s, v):
+        bm = bytes.fromhex(s["bloom"])
+        return all(bm[p >> 3] & (1 << (p & 7))
+                   for p in int_bloom_positions(v, s["bloom_m"]))
 
     # enum-like ints -> exact list
     s = build_eq_stats_numeric(np.array([3, 1, 2, 1, 3] * 10,
                                         dtype=np.int64))
     assert s == {"dvset_i": [1, 2, 3]}
-    # id-like ints -> bloom, no false negatives
+    # id-like ints -> bloom, no false negatives (vectorized build ==
+    # scalar probe hashes)
     ids = np.arange(10_000, 11_000, dtype=np.int64)
     s2 = build_eq_stats_numeric(ids)
     assert "bloom" in s2
-    assert all(bloom_may_contain(s2["bloom"], s2["bloom_m"],
-                                 int_key_bytes(int(v))) for v in ids)
+    assert all(in_bloom(s2, int(v)) for v in ids)
     # negative values round-trip through the two's-complement key
     neg = build_eq_stats_numeric(np.array([-5, -1, 7], dtype=np.int64))
     assert neg == {"dvset_i": [-5, -1, 7]}
+    negb = build_eq_stats_numeric(
+        np.arange(-2_000, -1_000, dtype=np.int64))
+    assert all(in_bloom(negb, v) for v in range(-2_000, -1_000))
     # u64 beyond int64 falls through to bloom (dvset_i cannot hold it)
     big = build_eq_stats_numeric(np.array([2**63 + 1, 2, 3],
                                           dtype=np.uint64))
-    assert "bloom" in big
-    assert bloom_may_contain(big["bloom"], big["bloom_m"],
-                             int_key_bytes(2**63 + 1))
+    assert "bloom" in big and in_bloom(big, 2**63 + 1)
 
 
 def test_prune_chunks_eq_int_point_lookup(spark):

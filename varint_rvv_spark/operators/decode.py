@@ -247,7 +247,7 @@ def _eq_may_contain(value):
     """Column predicate over footer rows: may this chunk contain
     `value`?  Pure JVM (get_json_object / from_json / substr / conv);
     chunks without eq stats evaluate True (conservatively kept)."""
-    from .eqstats import BLOOM_K, eq_hashes, int_key_bytes
+    from .eqstats import BLOOM_K, eq_hashes, int_hashes
 
     if value is None:
         raise ValueError("eq pruning: probing for NULL is not "
@@ -255,7 +255,7 @@ def _eq_may_contain(value):
     if isinstance(value, bool):
         raise ValueError("eq pruning: probe booleans as ints (0/1)")
     if isinstance(value, int):
-        vb = int_key_bytes(value)
+        c1, c2 = int_hashes(value)
         dv = F.from_json(F.get_json_object("stats_json", "$.dvset_i"),
                          "array<bigint>")
         # dvset_i is only written for int64-representable domains, so
@@ -274,7 +274,7 @@ def _eq_may_contain(value):
                          "array<string>")
         in_dv = (F.array_contains(dv, vs) if vs is not None
                  else F.lit(False))
-    c1, c2 = eq_hashes(vb)
+        c1, c2 = eq_hashes(vb)
     bloom = F.get_json_object("stats_json", "$.bloom")
     m = F.get_json_object("stats_json", "$.bloom_m").cast("long")
 

@@ -115,11 +115,32 @@ def build_eq_stats(arr: pa.Array) -> dict:
     return {"bloom": bm.tobytes().hex(), "bloom_m": m}
 
 
-def int_key_bytes(v: int) -> bytes:
-    """Canonical 8-byte hash key for an integer value: 64-bit
-    two's-complement little-endian (covers i8..i64 and u8..u64 —
-    encode side and probe side must agree)."""
-    return (int(v) & ((1 << 64) - 1)).to_bytes(8, "little")
+_M64 = (1 << 64) - 1
+
+
+def int_hashes(v: int) -> tuple[int, int]:
+    """splitmix64-derived (c1, c2) for an integer value (scalar probe
+    twin of the vectorized encode-side `_splitmix64`); input is the
+    64-bit two's-complement representation, so i8..i64 and u8..u64
+    all share one canonical key space."""
+    z = (int(v) + 0x9E3779B97F4A7C15) & _M64
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & _M64
+    z ^= z >> 31
+    return z & 0xFFFFFFFF, (z >> 32) | 1
+
+
+def _splitmix64(x: "np.ndarray") -> "np.ndarray":
+    """Vectorized splitmix64 over uint64 (wrapping arithmetic)."""
+    z = (x + np.uint64(0x9E3779B97F4A7C15))
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def int_bloom_positions(v: int, m: int) -> list[int]:
+    c1, c2 = int_hashes(v)
+    return [(c1 + i * c2) % m for i in range(BLOOM_K)]
 
 
 _I64_MIN, _U64_MAX = -(1 << 63), (1 << 64) - 1
@@ -151,10 +172,20 @@ def build_eq_stats_numeric(values: "np.ndarray") -> dict:
         return {"dvset_i": [int(x) for x in u]}
     m = min(max(_next_pow2(BLOOM_BITS_PER_KEY * nd), BLOOM_MIN_M),
             BLOOM_MAX_M)
+    # fully vectorized build: splitmix64 over the distinct set, then
+    # k double-hashed positions and a scatter — no per-value Python
+    z = _splitmix64(u.astype(np.int64, copy=False).view(np.uint64)
+                    if u.dtype.kind == "i"
+                    else u.astype(np.uint64, copy=False))
+    c1 = (z & np.uint64(0xFFFFFFFF)).astype(np.uint64)
+    c2 = ((z >> np.uint64(32)) | np.uint64(1)).astype(np.uint64)
     bm = np.zeros(m >> 3, dtype=np.uint8)
-    for v in u:
-        for p in bloom_positions(int_key_bytes(int(v)), m):
-            bm[p >> 3] |= np.uint8(1 << (p & 7))
+    for i in range(BLOOM_K):
+        pos = (c1 + np.uint64(i) * c2) % np.uint64(m)
+        np.bitwise_or.at(bm, (pos >> np.uint64(3)).astype(np.int64),
+                         np.left_shift(np.uint8(1),
+                                       (pos & np.uint64(7))
+                                       .astype(np.uint8)))
     return {"bloom": bm.tobytes().hex(), "bloom_m": m}
 
 
