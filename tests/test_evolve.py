@@ -80,3 +80,9 @@ def test_stored_table_schema_inference(spark, chunks_v1):
         "user string, id bigint")
     with pytest.raises(ValueError, match="no footer rows"):
         stored_table_schema(chunks_v1, ["nope"])
+
+
+def test_rename_collision_raises(spark, chunks_v1):
+    with pytest.raises(ValueError, match="collide"):
+        decode_table_evolved(chunks_v1, "score bigint",
+                             renames={"user": "score"})

@@ -28,6 +28,11 @@ def test_footer_percentile_rank_error_bounded(spark):
     est2 = footer_percentile(chunks, "user_id", [0.5]).collect()[0]
     r2 = _rank_of(df, "user_id", est2.p50)
     assert abs(r2 - 0.5) < 0.08
+    # q=1.0 must return the global max sample, never NULL (running-sum
+    # vs whole-frame-sum ulp drift regression)
+    est3 = footer_percentile(chunks, "value", [1.0]).collect()[0]
+    assert est3.p100 is not None
+    assert _rank_of(df, "value", est3.p100) > 0.9
     chunks.unpersist()
 
 

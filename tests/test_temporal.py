@@ -102,3 +102,14 @@ def test_range_join_query_nonempty_and_hash_joined(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan
     assert df.count() > 10
+
+
+def test_asof_reserved_column_raises(spark):
+    import pytest
+
+    probe = spark.createDataFrame([(1, _ts(1), 0)],
+                                  "uid long, ts timestamp, _side int")
+    build = spark.createDataFrame([(1, _ts(0), 1.0)],
+                                  "uid long, ts timestamp, px double")
+    with pytest.raises(ValueError, match="internal names"):
+        asof_join(probe, build, "uid", "ts", ["px"])

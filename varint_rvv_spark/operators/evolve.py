@@ -140,6 +140,15 @@ def decode_table_evolved(chunks: DataFrame, target_schema: str,
     struct = _parse_datatype_string(target_schema)
     target = {f.name: f.dataType.simpleString() for f in struct.fields}
     if renames:
+        stored_names = {r.column for r in
+                        chunks.select("column").distinct().collect()}
+        clash = [new for old, new in renames.items()
+                 if new in stored_names and new not in renames]
+        if clash:
+            raise ValueError(
+                f"decode_table_evolved: rename target(s) {clash} "
+                f"collide with existing stored columns — the merged "
+                f"chunk set would carry two streams per name")
         kv = [F.lit(x) for pair in renames.items() for x in pair]
         mapping = F.create_map(*kv)
         # try_element_at: ANSI mode raises on missing map keys

@@ -55,7 +55,11 @@ def footer_percentile(chunks: DataFrame, column: str,
                           Window.unboundedFollowing))
     ranked = (samples
               .withColumn("cum", F.sum("w").over(w_cum))
-              .withColumn("tot", F.sum("w").over(w_all)))
+              # tot = max of the RUNNING sum, not an independent
+              # whole-frame sum: a separate sum may add in a different
+              # order and land an ulp above the last cum, which would
+              # make `cum >= 1.0 * tot` false everywhere (q=1.0 → NULL)
+              .withColumn("tot", F.max("cum").over(w_all)))
     aggs = [F.min(F.when(F.col("cum") >= F.lit(q) * F.col("tot"),
                          F.col("v"))).alias(f"p{round(q * 100)}")
             for q in qs]

@@ -36,6 +36,10 @@ def asof_join(probe: DataFrame, build: DataFrame, key: str,
     `build` should be unique per (key, ts) — pre-aggregate if not, or
     which of the tied rows wins is partition-order-dependent.
     """
+    reserved = {"_side", "_asof", "_m"} & set(probe.columns)
+    if reserved:
+        raise ValueError(f"asof_join: probe columns {sorted(reserved)} "
+                         f"collide with internal names — rename them")
     bcols = [key, ts_col, *value_cols]
     payload = F.struct(*[F.col(c) for c in [ts_col, *value_cols]])
     b = (build.select(*bcols)
