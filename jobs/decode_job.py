@@ -50,7 +50,8 @@ def main() -> None:
 
     spark = get_spark(app="varint_rvv_spark-decode", master=args.master)
     chunks = read_chunks(spark, args.input)
-    cols = args.columns.split(",") if args.columns else None
+    cols = ([c.strip() for c in args.columns.split(",")]
+            if args.columns else None)
     schema = args.schema or stored_table_schema(chunks, cols)
     if cols is None:
         # schema-aware field-name parse (naive comma-split would break

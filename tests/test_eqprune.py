@@ -214,3 +214,30 @@ def test_zorder_two_dimension_pruning(spark):
 
     assert agg(pruned) == agg(chunks)
     chunks.unpersist()
+
+
+def test_prune_probe_type_mismatch_raises(spark):
+    """An int probe on a string column tests the wrong hash family and
+    would silently drop matching chunks — must raise instead."""
+    from varint_rvv_spark.operators.decode import prune_chunks_in
+    from varint_rvv_spark.operators.encode import encode_chunks
+
+    df = spark.read.parquet(DOCS)
+    chunks = encode_chunks(df, key_cols=["doc_id"], num_chunks=4,
+                           columns=["doc_id", "source"]).cache()
+    try:
+        with pytest.raises(TypeError, match="integer probe"):
+            prune_chunks_eq(chunks, "source", 123)
+        with pytest.raises(TypeError, match="probe against non-varlen"):
+            prune_chunks_eq(chunks, "doc_id", "123")
+        with pytest.raises(TypeError, match="integer probe"):
+            prune_chunks_in(chunks, "source", ["src1", 7])
+    finally:
+        chunks.unpersist()
+
+
+def test_zorder_bit_overflow_raises(spark):
+    from varint_rvv_spark.operators.encode import zorder_expr
+
+    with pytest.raises(ValueError, match="interleaved bits"):
+        zorder_expr([F.lit(i) for i in range(8)], bits=8)

@@ -86,3 +86,9 @@ def test_rename_collision_raises(spark, chunks_v1):
     with pytest.raises(ValueError, match="collide"):
         decode_table_evolved(chunks_v1, "score bigint",
                              renames={"user": "score"})
+
+
+def test_rename_unknown_source_raises(spark, chunks_v1):
+    with pytest.raises(ValueError, match="match no stored column"):
+        decode_table_evolved(chunks_v1, "username string",
+                             renames={"usr": "username"})

@@ -47,3 +47,30 @@ def test_footer_percentile_guards(spark):
             footer_percentile(chunks, "value", [1.5])
     finally:
         chunks.unpersist()
+
+
+def test_footer_percentile_name_collision_and_nullable_skip(spark):
+    from varint_rvv_spark.operators.encode import footer_of
+
+    df = spark.read.parquet(EVENTS).limit(200)
+    chunks = encode_chunks(df, key_cols=["event_id"],
+                           num_chunks=4).cache()
+    try:
+        with pytest.raises(ValueError, match="colliding"):
+            footer_percentile(chunks, "value", [0.5, 0.5])
+        # fractional quantiles get distinct, readable names (the old
+        # round()-based naming mapped 0.995 and 1.0 both to p100)
+        row = footer_percentile(chunks, "value", [0.995, 1.0]) \
+            .collect()[0]
+        assert row.p99_5 is not None and row.p100 is not None
+    finally:
+        chunks.unpersist()
+    # a chunk with nulls writes NO qsample (fill-zero would bias the
+    # pool toward 0)
+    import json as _json
+
+    nul = spark.createDataFrame([(1, 10), (2, None), (3, 30)],
+                                "id long, x int")
+    f = footer_of(encode_chunks(nul, key_cols=["id"], num_chunks=1))
+    srow = [r for r in f.collect() if r.column == "x"][0]
+    assert "qsample" not in _json.loads(srow.stats_json)

@@ -113,3 +113,14 @@ def test_asof_reserved_column_raises(spark):
                                   "uid long, ts timestamp, px double")
     with pytest.raises(ValueError, match="internal names"):
         asof_join(probe, build, "uid", "ts", ["px"])
+
+
+def test_asof_null_build_ts_never_matches(spark):
+    """A NULL-ts build row must not leak its payload to early probes
+    (review finding: nulls-first ordering made it visible)."""
+    probe = spark.createDataFrame([(1, _ts(1), "a")],
+                                  "uid long, ts timestamp, tag string")
+    build = spark.createDataFrame([(1, None, 99.0), (1, _ts(5), 1.0)],
+                                  "uid long, ts timestamp, px double")
+    out = asof_join(probe, build, "uid", "ts", ["px"]).collect()[0]
+    assert out.asof_px is None and out.asof_ts is None

@@ -205,8 +205,9 @@ def prune_chunks_eq(chunks: DataFrame, column: str, value) -> DataFrame:
     row filter after decode is still required.  At 100 TB this is an
     O(chunks) footer-metadata scan, same cost shape as prune_chunks.
     """
-    qual = (_eq_col_rows(chunks, column, "prune_chunks_eq")
-            .filter(_eq_may_contain(value))
+    col_rows, dt = _eq_col_rows(chunks, column, "prune_chunks_eq")
+    _check_probe_type(dt, value, column, "prune_chunks_eq")
+    qual = (col_rows.filter(_eq_may_contain(value))
             .select("chunk_id"))
     return chunks.join(F.broadcast(qual), "chunk_id", "left_semi")
 
@@ -223,9 +224,14 @@ def prune_chunks_in(chunks: DataFrame, column: str, values,
     if not vals:
         raise ValueError("prune_chunks_in: empty probe list (did you "
                          "mean to prune everything?)")
-    col_rows = _eq_col_rows(chunks, column, "prune_chunks_in")
     if len(vals) > max_probes:
+        # bail before touching the footer — validating the column
+        # name would cost a full lineage job on a path that prunes
+        # nothing anyway
         return chunks
+    col_rows, dt = _eq_col_rows(chunks, column, "prune_chunks_in")
+    for v in vals:
+        _check_probe_type(dt, v, column, "prune_chunks_in")
     cond = _eq_may_contain(vals[0])
     for v in vals[1:]:
         cond = cond | _eq_may_contain(v)
@@ -233,14 +239,33 @@ def prune_chunks_in(chunks: DataFrame, column: str, values,
     return chunks.join(F.broadcast(qual), "chunk_id", "left_semi")
 
 
-def _eq_col_rows(chunks: DataFrame, column: str, who: str) -> DataFrame:
+def _eq_col_rows(chunks: DataFrame, column: str, who: str):
     col_rows = chunks.filter(F.col("column") == column)
-    if col_rows.isEmpty():
+    head = col_rows.select("dtype_code").head()
+    if head is None:
         raise ValueError(
             f"{who}: no footer rows for column {column!r} — check the "
             f"column name (pruning on it would drop all chunks, not "
             f"zero)")
-    return col_rows
+    return col_rows, int(head.dtype_code)
+
+
+def _check_probe_type(dt: int, value, column: str, who: str) -> None:
+    """An int probe against a string column (or vice versa) would test
+    the wrong hash family and silently prune chunks that DO contain
+    the value (the residual Spark filter would have cast-matched it) —
+    a correctness bug, so it raises instead."""
+    is_int_col = dt in (B.DT_U32, B.DT_U64, B.DT_I32, B.DT_I64, B.DT_U8)
+    if isinstance(value, int) and not is_int_col:
+        raise TypeError(
+            f"{who}: integer probe against non-integer column "
+            f"{column!r} (dtype_code {dt}) — pass the column's own "
+            f"type (pruning with a mismatched probe type would drop "
+            f"matching chunks)")
+    if isinstance(value, (str, bytes, bytearray)) and not B.is_varlen(dt):
+        raise TypeError(
+            f"{who}: string/bytes probe against non-varlen column "
+            f"{column!r} (dtype_code {dt}) — pass an int probe")
 
 
 def _eq_may_contain(value):

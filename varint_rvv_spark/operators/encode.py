@@ -123,8 +123,12 @@ def _append_column_row(rows: dict, chunk_id: int, col: str, arr,
                 # percentiles (operators/footer_stats.py); row order
                 # inside a chunk is effectively arbitrary w.r.t. value
                 # rank, so the stride is a uniform-ish sample.  O(1)
-                # cost — no sort, no extra pass
-                if len(values) > 1:
+                # cost — no sort, no extra pass.  Chunks with nulls
+                # skip the sample: `values` is null-FILLED here, and a
+                # fill-zero sample would drag the estimate toward 0
+                # (absent sample = chunk absent from the pool, which
+                # footer_percentile documents)
+                if len(values) > 1 and not validity:
                     stride = max(len(values) // 32, 1)
                     out_stats["qsample"] = sorted(
                         cast(x) for x in values[::stride][:32])
@@ -449,8 +453,16 @@ def encode_chunks_scan(df: DataFrame, columns: list[str] | None = None,
 def zorder_expr(bucket_cols: list, bits: int = 8):
     """Interleave the bits of pre-bucketed dimension columns into one
     Z-value Column (Morton order) — pure JVM bit arithmetic."""
-    z = F.lit(0).cast("long")
     n = len(bucket_cols)
+    if n * bits > 63:
+        # the JVM wraps shift distances mod 64: an overflowing
+        # interleave would silently alias high bits onto low positions
+        # and degrade clustering to noise
+        raise ValueError(
+            f"zorder_expr: {n} dimensions x {bits} bits = {n * bits} "
+            f"interleaved bits > 63 — lower bits (e.g. "
+            f"bits={63 // n}) or drop a dimension")
+    z = F.lit(0).cast("long")
     for i in range(bits):
         for k, b in enumerate(bucket_cols):
             bit = F.shiftright(b.cast("long"), i).bitwiseAND(F.lit(1))

@@ -149,6 +149,12 @@ def decode_table_evolved(chunks: DataFrame, target_schema: str,
                 f"decode_table_evolved: rename target(s) {clash} "
                 f"collide with existing stored columns — the merged "
                 f"chunk set would carry two streams per name")
+        unknown = sorted(set(renames) - stored_names)
+        if unknown:
+            # a typo'd source would silently null-fill the target
+            raise ValueError(
+                f"decode_table_evolved: rename source(s) {unknown} "
+                f"match no stored column")
         kv = [F.lit(x) for pair in renames.items() for x in pair]
         mapping = F.create_map(*kv)
         # try_element_at: ANSI mode raises on missing map keys

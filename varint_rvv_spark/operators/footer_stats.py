@@ -60,7 +60,12 @@ def footer_percentile(chunks: DataFrame, column: str,
               # order and land an ulp above the last cum, which would
               # make `cum >= 1.0 * tot` false everywhere (q=1.0 → NULL)
               .withColumn("tot", F.max("cum").over(w_all)))
+    names = ["p" + f"{q * 100:g}".replace(".", "_") for q in qs]
+    if len(set(names)) != len(names):
+        raise ValueError(
+            f"footer_percentile: quantiles {qs} map to colliding "
+            f"column names {names}")
     aggs = [F.min(F.when(F.col("cum") >= F.lit(q) * F.col("tot"),
-                         F.col("v"))).alias(f"p{round(q * 100)}")
-            for q in qs]
+                         F.col("v"))).alias(nm)
+            for q, nm in zip(qs, names)]
     return ranked.agg(*aggs)

@@ -42,7 +42,10 @@ def asof_join(probe: DataFrame, build: DataFrame, key: str,
                          f"collide with internal names — rename them")
     bcols = [key, ts_col, *value_cols]
     payload = F.struct(*[F.col(c) for c in [ts_col, *value_cols]])
-    b = (build.select(*bcols)
+    # a NULL-ts build row can never satisfy probe.ts >= build.ts, but
+    # nulls-first ordering would otherwise make its (non-null) payload
+    # struct visible to every early probe row — drop it up front
+    b = (build.filter(F.col(ts_col).isNotNull()).select(*bcols)
          .withColumn("_side", F.lit(0))
          .withColumn("_asof", payload))
     extra = [c for c in probe.columns if c not in (key, ts_col)]
