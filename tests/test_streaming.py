@@ -200,3 +200,47 @@ def test_stream_chunks_compact_roundtrip(spark, tmp_path):
     assert compacted.agg(F.sum("n_values")).collect()[0][0] == \
         small.agg(F.sum("n_values")).collect()[0][0]
     compacted.unpersist()
+
+
+def test_streaming_sessionize(spark, tmp_path):
+    """Cross-batch gap sessionization: a session closes exactly once,
+    when a later event (same or later micro-batch) exceeds the gap."""
+    from datetime import datetime
+
+    from varint_rvv_spark.streaming.stateful import streaming_sessionize
+
+    def ts(m):
+        return datetime(2024, 1, 1, 0, m)
+
+    src = str(tmp_path / "sess_in")
+    ckpt = str(tmp_path / "sess_ckpt")
+    out = str(tmp_path / "sess_out")
+    schema = "uid long, ts timestamp"
+    # batch 1: user 1 has two close events; user 2 has two sessions
+    # already separated inside the batch (the first closes immediately)
+    spark.createDataFrame(
+        [(1, ts(0)), (1, ts(5)), (2, ts(0)), (2, ts(50))],
+        schema).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        sess = streaming_sessionize(
+            stream, "uid", "ts", gap_s=30 * 60,
+            output_schema="uid long, session_start_us long, "
+                          "session_end_us long, n_events long")
+        q = (sess.writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_once()
+    got1 = sorted(map(tuple, spark.read.parquet(out).collect()))
+    base = 1704067200000000  # 2024-01-01 00:00 UTC in epoch-us
+    m = 60_000_000
+    assert got1 == [(2, base, base, 1)]  # only user 2's first closed
+    # batch 2: user 1's late event closes the open (0-5 min) session
+    spark.createDataFrame([(1, ts(59))], schema) \
+        .write.mode("append").parquet(src)
+    run_once()
+    got2 = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert got2 == [(1, base, base + 5 * m, 2), (2, base, base, 1)]

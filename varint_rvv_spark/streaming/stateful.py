@@ -119,3 +119,60 @@ def streaming_simhash_neardup(stream: DataFrame, id_col: str,
             .applyInPandasWithState(suppress, out_schema,
                                     "kept array<long>", "append",
                                     GroupStateTimeout.NoTimeout))
+
+
+SESSION_STATE_SCHEMA = "start_us long, last_us long, n long"
+
+
+def streaming_sessionize(stream: DataFrame, key_col: str, ts_col: str,
+                         gap_s: int, output_schema: str) -> DataFrame:
+    """Cross-batch gap-based sessionization — the streaming twin of
+    operators/temporal.sessionize.
+
+    State per key is one open session (start, last-seen, count).
+    Events are folded in event-time order inside each micro-batch; a
+    gap greater than `gap_s` CLOSES the open session (emitted
+    downstream) and opens a new one.  Sessions therefore emit exactly
+    once, when their closing gap is observed — the standard
+    at-ingest sessionizer shape; an idle tail session stays open in
+    the state store until a later event (or operator teardown) closes
+    it, which is the deliberate NoTimeout trade for deterministic
+    tests (production would add an event-time timeout + watermark to
+    flush idle keys).
+
+    output_schema must be: `<key_col> long, session_start_us long,
+    session_end_us long, n_events long`.  State is one tiny row per
+    key, hash-partitioned by the state store — scales horizontally.
+    """
+    gap_us = int(gap_s) * 1_000_000
+
+    def fn(key, pdf_iter, state: GroupState):
+        (k,) = key
+        ts_all = []
+        for pdf in pdf_iter:
+            if len(pdf):
+                ts_all.append(pd.to_datetime(pdf[ts_col])
+                              .astype("int64") // 1000)
+        closed = []
+        cur = list(state.get) if state.exists else None
+        if ts_all:
+            for t in sorted(pd.concat(ts_all).tolist()):
+                if cur is None:
+                    cur = [t, t, 1]
+                elif t > cur[1] + gap_us:
+                    closed.append((k, cur[0], cur[1], cur[2]))
+                    cur = [t, t, 1]
+                else:
+                    cur[1] = max(cur[1], t)
+                    cur[2] += 1
+        if cur is not None:
+            state.update(tuple(cur))
+        if closed:
+            yield pd.DataFrame(closed,
+                               columns=[key_col, "session_start_us",
+                                        "session_end_us", "n_events"])
+
+    return (stream.groupBy(key_col)
+            .applyInPandasWithState(fn, output_schema,
+                                    SESSION_STATE_SCHEMA, "append",
+                                    GroupStateTimeout.NoTimeout))
