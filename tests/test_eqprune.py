@@ -241,3 +241,34 @@ def test_zorder_bit_overflow_raises(spark):
 
     with pytest.raises(ValueError, match="interleaved bits"):
         zorder_expr([F.lit(i) for i in range(8)], bits=8)
+
+
+def test_scan_encoded_combined_predicates(spark):
+    """scan_encoded: eq + range predicates each prune chunks, and the
+    result equals a plain decode-then-filter."""
+    from varint_rvv_spark.operators.decode import scan_encoded
+    from varint_rvv_spark.operators.encode import encode_chunks_range
+    from varint_rvv_spark.queries import TABLE_SCHEMAS
+
+    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    chunks = encode_chunks_range(df, ["event_type", "ts"],
+                                 num_partitions=4,
+                                 rows_per_chunk=64).cache()
+    lo, hi = 1704844800000000, 1705449600000000
+    d = scan_encoded(chunks, df.columns, TABLE_SCHEMAS["events"],
+                     eq={"event_type": "click"},
+                     ranges={"ts": (lo, hi - 1)})
+    got = tuple(d.agg(F.count("*"), F.sum("event_id")).collect()[0])
+    exp = tuple(df.filter((F.col("event_type") == "click")
+                          & (F.unix_micros(F.col("ts")
+                                           .cast("timestamp")) >= lo)
+                          & (F.unix_micros(F.col("ts")
+                                           .cast("timestamp")) < hi))
+                .agg(F.count("*"), F.sum("event_id")).collect()[0])
+    assert got == exp and got[0] > 0
+    # predicates on undecoded columns must raise, not silently skip
+    # the residual
+    with pytest.raises(ValueError, match="predicate columns"):
+        scan_encoded(chunks, ["event_id"], "event_id long",
+                     eq={"event_type": "click"})
+    chunks.unpersist()

@@ -431,3 +431,54 @@ def _decode_table_contiguous(chunks: DataFrame, columns: list[str],
             .select("chunk_id", "column", "logical_type", "validity",
                     "payload")
             .mapInArrow(fn, spark_schema))
+
+
+def scan_encoded(chunks: DataFrame, columns: list[str],
+                 spark_schema: str, eq: dict | None = None,
+                 ranges: dict | None = None,
+                 contiguous: bool = True) -> DataFrame:
+    """One-call filtered scan over an encoded store: the predicate
+    surface a reader actually wants.
+
+    `eq`: {column: value} equality predicates; `ranges`:
+    {column: (lo, hi)} inclusive numeric ranges (either bound may be
+    None; timestamps compare in epoch-µs).  Each predicate first
+    prunes whole chunks from footer stats (prune_chunks_eq / the
+    zone maps — O(chunks) JVM metadata work), then re-applies itself
+    as an exact residual row filter on the decoded survivors, so the
+    result equals a plain decode-then-filter regardless of how
+    selective the footer stats were.
+
+    Predicate columns must be in `columns` (the residual filter needs
+    them decoded) — raises otherwise.
+    """
+    eq = eq or {}
+    ranges = ranges or {}
+    missing = (set(eq) | set(ranges)) - set(columns)
+    if missing:
+        raise ValueError(f"scan_encoded: predicate columns "
+                         f"{sorted(missing)} must be in `columns` "
+                         f"(the residual filter needs them decoded)")
+    for col, v in eq.items():
+        chunks = prune_chunks_eq(chunks, col, v)
+    for col, (lo, hi) in ranges.items():
+        chunks = prune_chunks(chunks, col, lo, hi)
+    d = decode_table(chunks, columns, spark_schema,
+                     contiguous=contiguous)
+
+    def as_num(col):
+        from pyspark.sql.types import TimestampNTZType, TimestampType
+
+        if isinstance(d.schema[col].dataType,
+                      (TimestampType, TimestampNTZType)):
+            return F.unix_micros(F.col(col).cast("timestamp"))
+        return F.col(col)
+
+    for col, v in eq.items():
+        d = d.filter(F.col(col) == F.lit(v))
+    for col, (lo, hi) in ranges.items():
+        if lo is not None:
+            d = d.filter(as_num(col) >= F.lit(lo))
+        if hi is not None:
+            d = d.filter(as_num(col) <= F.lit(hi))
+    return d

@@ -189,6 +189,38 @@ WHERE user_id BETWEEN 10 AND 19
 """
 
 
+def scan_encoded_clicks_window(spark, sf_dir):
+    """The reader-facing predicate surface in one call
+    (decode.scan_encoded): a (event_type, ts)-clustered store scanned
+    with an equality + a time-range predicate — dvset pruning on the
+    type, zone-map pruning on the time, exact residual filters on the
+    decoded survivors.  Oracle is the plain two-predicate WHERE."""
+    from .operators.decode import scan_encoded
+    from .operators.encode import encode_chunks_range
+
+    lo_us, hi_us = 1704844800000000, 1705449600000000
+    df = _t(spark, sf_dir, "events")
+    chunks = encode_chunks_range(df, ["event_type", "ts"],
+                                 num_partitions=8,
+                                 rows_per_chunk=512).cache()
+    d = scan_encoded(chunks, df.columns, TABLE_SCHEMAS["events"],
+                     eq={"event_type": "click"},
+                     ranges={"ts": (lo_us, hi_us - 1)})
+    return d.agg(F.count("*").alias("n_events"),
+                 F.sum("event_id").alias("sum_ids"),
+                 F.round(F.sum("value"), 4).alias("sum_value"))
+
+
+SCAN_ENCODED_CLICKS_SQL = """
+SELECT COUNT(*) AS n_events, CAST(SUM(event_id) AS BIGINT) AS sum_ids,
+       ROUND(SUM(value), 4) AS sum_value
+FROM events
+WHERE event_type = 'click'
+  AND epoch_us(ts) >= 1704844800000000
+  AND epoch_us(ts) < 1705449600000000
+"""
+
+
 def rt_documents_source_pruned(spark, sf_dir):
     """Equality-pruned round-trip (categorical twin of
     rt_events_pruned): source-clustered chunks, footer dvset/bloom
@@ -2258,6 +2290,7 @@ QUERIES = {
     "rt_events_scanmode": rt_events_scanmode,
     "rt_events_pruned": rt_events_pruned,
     "rt_events_zorder_pruned": rt_events_zorder_pruned,
+    "scan_encoded_clicks_window": scan_encoded_clicks_window,
     "rt_documents_source_pruned": rt_documents_source_pruned,
     "rt_documents_point_lookup": rt_documents_point_lookup,
     "events_asof_purchase": events_asof_purchase,
@@ -2324,6 +2357,7 @@ ORACLES = {
     "rt_events_scanmode": RT_EVENTS_SCANMODE_SQL,
     "rt_events_pruned": RT_EVENTS_PRUNED_SQL,
     "rt_events_zorder_pruned": RT_EVENTS_ZORDER_SQL,
+    "scan_encoded_clicks_window": SCAN_ENCODED_CLICKS_SQL,
     "rt_documents_source_pruned": RT_DOCS_SOURCE_PRUNED_SQL,
     "rt_documents_point_lookup": RT_DOCS_POINT_LOOKUP_SQL,
     "events_asof_purchase": EVENTS_ASOF_SQL,
