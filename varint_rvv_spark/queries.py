@@ -616,6 +616,45 @@ GROUP BY n1.n_name, n2.n_name, YEAR(l_shipdate)
 """
 
 
+def tpch_q10ish_returned_revenue(spark, sf_dir):
+    """TPC-H Q10 shape: revenue lost to returned items per customer —
+    fact filter, one fact-fact join, two broadcast dims, decimal-sum
+    top-20 under a total (revenue, custkey) order."""
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter(F.col("l_returnflag") == "R"))
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
+        .cast("decimal(18,4)")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust),
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(nation),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("c_custkey", "c_name", "n_name")
+            .agg(F.sum(rev).cast("double").alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items"))
+            .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+            .limit(20))
+
+
+TPCH_Q10ISH_SQL = """
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
 def rt_orders_in_list(spark, sf_dir):
     """IN-list point reads by order key on a hash-clustered layout:
     the integer eq blooms (operators/eqstats.py) prune chunks the
@@ -2304,6 +2343,7 @@ QUERIES = {
     "tpch_q22ish_dormant_rich": tpch_q22ish_dormant_rich,
     "tpch_q16ish_supplier_variety": tpch_q16ish_supplier_variety,
     "tpch_q7ish_nation_trade": tpch_q7ish_nation_trade,
+    "tpch_q10ish_returned_revenue": tpch_q10ish_returned_revenue,
     "rt_orders_in_list": rt_orders_in_list,
     "compact_small_chunks": compact_small_chunks,
     "schema_evolution_read": schema_evolution_read,
@@ -2371,6 +2411,7 @@ ORACLES = {
     "tpch_q22ish_dormant_rich": TPCH_Q22ISH_SQL,
     "tpch_q16ish_supplier_variety": TPCH_Q16ISH_SQL,
     "tpch_q7ish_nation_trade": TPCH_Q7ISH_SQL,
+    "tpch_q10ish_returned_revenue": TPCH_Q10ISH_SQL,
     "rt_orders_in_list": RT_ORDERS_IN_LIST_SQL,
     "compact_small_chunks": COMPACT_SMALL_CHUNKS_SQL,
     "schema_evolution_read": SCHEMA_EVOLUTION_SQL,
