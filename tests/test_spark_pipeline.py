@@ -362,3 +362,28 @@ def test_prune_chunks_unknown_column_raises(spark):
             prune_chunks(chunks, "wrac_ts", lo=0)
     finally:
         chunks.unpersist()
+
+
+@pytest.mark.parametrize("table", [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings"])
+def test_every_testdata_table_roundtrips(spark, table):
+    """Completeness net: EVERY driver testdata table — all column
+    types in the corpus (ints, doubles, strings, timestamps,
+    array<float>) — encodes, bit-identity-verifies, and decodes to
+    the source row count."""
+    from varint_rvv_spark.operators.decode import verify_roundtrip
+    from varint_rvv_spark.operators.encode import encode_chunks
+
+    df = spark.read.parquet(f"/root/testdata/sf0.001/{table}.parquet")
+    chunks = encode_chunks(df, key_cols=[df.columns[0]],
+                           num_chunks=4).cache()
+    try:
+        n, bad = verify_roundtrip(chunks)
+        assert bad == 0 and n > 0  # tiny tables may fill < 4 chunks
+        total = chunks.filter(
+            F.col("column") == df.columns[0]).agg(
+            F.sum("n_values")).collect()[0][0]
+        assert total == df.count()
+    finally:
+        chunks.unpersist()
