@@ -655,6 +655,113 @@ LIMIT 20
 """
 
 
+def events_funnel(spark, sf_dir):
+    """Funnel analysis: signup → click → purchase ordered per user,
+    via conditional-min timestamps (one groupBy, no joins or window
+    sorts — the single-pass funnel shape)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+
+    def first(t):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts_us")))
+
+    per = (ev.groupBy("user_id")
+           .agg(first("signup").alias("t_signup"),
+                first("click").alias("t_click"),
+                first("purchase").alias("t_purchase")))
+    step2 = (F.col("t_signup").isNotNull()
+             & (F.col("t_click") > F.col("t_signup")))
+    step3 = step2 & (F.col("t_purchase") > F.col("t_click"))
+    return per.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("t_signup").isNotNull(), 1).otherwise(0))
+        .alias("n_signup"),
+        F.sum(F.when(step2, 1).otherwise(0)).alias("n_signup_click"),
+        F.sum(F.when(step3, 1).otherwise(0)).alias("n_full_funnel"))
+
+
+EVENTS_FUNNEL_SQL = """
+WITH per AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup'
+                  THEN epoch_us(ts) END) AS t_signup,
+         MIN(CASE WHEN event_type = 'click'
+                  THEN epoch_us(ts) END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase'
+                  THEN epoch_us(ts) END) AS t_purchase
+  FROM events GROUP BY user_id)
+SELECT COUNT(*) AS n_users,
+       CAST(SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_signup_click,
+       CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+                          AND t_purchase > t_click
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+FROM per
+"""
+
+
+def tpch_q19ish_disjunct_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: OR of multi-column conjuncts across the
+    fact-dim join (brand x size-range x quantity-range), decimal
+    revenue sum — the predicate structure that stresses pushdown
+    planning."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    c1 = ((F.col("p_brand") == "Brand#1")
+          & F.col("p_size").between(1, 15)
+          & F.col("l_quantity").between(1, 20))
+    c2 = ((F.col("p_brand") == "Brand#2")
+          & F.col("p_size").between(10, 30)
+          & F.col("l_quantity").between(10, 30))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
+        .cast("decimal(18,4)")
+    return (j.filter(c1 | c2)
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 F.sum(rev).cast("double").alias("revenue")))
+
+
+TPCH_Q19ISH_SQL = """
+SELECT COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 30)
+"""
+
+
+def part_unpivot_metrics(spark, sf_dir):
+    """UNPIVOT (wide → long): part's numeric metrics stacked into
+    (metric, value) rows, then re-aggregated — exact via decimal
+    sums."""
+    p = (_t(spark, sf_dir, "part")
+         .select("p_partkey",
+                 F.col("p_size").cast("double").alias("p_size"),
+                 "p_retailprice"))
+    up = p.unpivot("p_partkey", ["p_size", "p_retailprice"],
+                   "metric", "value")
+    return (up.groupBy("metric")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("value").cast("decimal(18,2)"))
+                 .cast("double").alias("total")))
+
+
+PART_UNPIVOT_SQL = """
+SELECT metric, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM (
+  SELECT 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+  UNION ALL
+  SELECT 'p_retailprice' AS metric, p_retailprice AS value FROM part)
+GROUP BY metric
+"""
+
+
 def rt_orders_in_list(spark, sf_dir):
     """IN-list point reads by order key on a hash-clustered layout:
     the integer eq blooms (operators/eqstats.py) prune chunks the
@@ -2344,6 +2451,9 @@ QUERIES = {
     "tpch_q16ish_supplier_variety": tpch_q16ish_supplier_variety,
     "tpch_q7ish_nation_trade": tpch_q7ish_nation_trade,
     "tpch_q10ish_returned_revenue": tpch_q10ish_returned_revenue,
+    "tpch_q19ish_disjunct_revenue": tpch_q19ish_disjunct_revenue,
+    "events_funnel": events_funnel,
+    "part_unpivot_metrics": part_unpivot_metrics,
     "rt_orders_in_list": rt_orders_in_list,
     "compact_small_chunks": compact_small_chunks,
     "schema_evolution_read": schema_evolution_read,
@@ -2412,6 +2522,9 @@ ORACLES = {
     "tpch_q16ish_supplier_variety": TPCH_Q16ISH_SQL,
     "tpch_q7ish_nation_trade": TPCH_Q7ISH_SQL,
     "tpch_q10ish_returned_revenue": TPCH_Q10ISH_SQL,
+    "tpch_q19ish_disjunct_revenue": TPCH_Q19ISH_SQL,
+    "events_funnel": EVENTS_FUNNEL_SQL,
+    "part_unpivot_metrics": PART_UNPIVOT_SQL,
     "rt_orders_in_list": RT_ORDERS_IN_LIST_SQL,
     "compact_small_chunks": COMPACT_SMALL_CHUNKS_SQL,
     "schema_evolution_read": SCHEMA_EVOLUTION_SQL,
