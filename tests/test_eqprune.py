@@ -272,3 +272,64 @@ def test_scan_encoded_combined_predicates(spark):
         scan_encoded(chunks, ["event_id"], "event_id long",
                      eq={"event_type": "click"})
     chunks.unpersist()
+
+
+def test_grouped_decode_prunes_unrequested_columns(spark, tmp_path):
+    """Grouped (sink-read) decode must decode ONLY requested columns —
+    an unrequested timestamp column used to crash the tz lookup, and
+    every extra column cost a pointless payload decode."""
+    from varint_rvv_spark.operators.encode import encode_chunks
+
+    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    chunks = encode_chunks(df, key_cols=["event_id"], num_chunks=4)
+    out = str(tmp_path / "store")
+    chunks.write.parquet(out)
+    stored = spark.read.parquet(out)
+    d = decode_table(stored, ["value"], "value double")  # ts NOT asked
+    got = d.agg(F.round(F.sum("value"), 4)).collect()[0][0]
+    exp = df.agg(F.round(F.sum("value"), 4)).collect()[0][0]
+    assert got == exp
+
+
+def test_decode_schema_mismatch_raises_clearly(spark):
+    """Declared-vs-stored type mismatch fails with an actionable
+    kernel-side error, not an opaque ArrowColumnVector crash."""
+    from pyspark.sql.utils import PythonException
+
+    from varint_rvv_spark.operators.encode import encode_chunks_scan
+    from varint_rvv_spark.sources.pages import pages_df
+
+    chunks = encode_chunks_scan(pages_df(spark, 50, seed=9,
+                                         partitions=1))
+    d = decode_table(chunks, ["html"], "html string",  # html is binary
+                     contiguous=True)
+    with pytest.raises(PythonException, match="decodes to arrow type"):
+        d.count()
+
+
+def test_push_chunk_filter_pushes_to_scan(spark, tmp_path):
+    """push_chunk_filter: selective prunes become a parquet
+    PushedFilter on chunk_id (I/O skipping), with identical results."""
+    from varint_rvv_spark.operators.decode import push_chunk_filter
+    from varint_rvv_spark.operators.encode import encode_chunks
+
+    df = spark.read.parquet(DOCS).withColumn("fp", F.md5("text"))
+    out = str(tmp_path / "store")
+    encode_chunks(df, key_cols=["doc_id"], num_chunks=16,
+                  columns=["doc_id", "fp"]) \
+        .sortWithinPartitions("chunk_id").write.parquet(out)
+    stored = spark.read.parquet(out)
+    target = df.agg(F.max("fp")).collect()[0][0]
+    pruned = prune_chunks_eq(stored, "fp", target)
+    pushed = push_chunk_filter(stored, pruned)
+    plan = pushed._jdf.queryExecution().executedPlan().toString()
+    # one id collapses In(...) to EqualTo(...) — either way the id
+    # predicate must reach the parquet scan's PushedFilters
+    import re
+
+    assert re.search(r"PushedFilters: \[[^\]]*"
+                     r"(In|EqualTo)\(chunk_id", plan), plan[:800]
+    assert sorted(r.chunk_id for r in
+                  pushed.select("chunk_id").distinct().collect()) == \
+        sorted(r.chunk_id for r in
+               pruned.select("chunk_id").distinct().collect())

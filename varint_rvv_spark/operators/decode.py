@@ -354,6 +354,8 @@ def decode_table(chunks: DataFrame, columns: list[str],
              else pa.timestamp("us")
              for f in struct.fields}
 
+    expected = _expected_arrow_types(spark_schema)
+
     def rebuild(tbl: pa.Table) -> pa.Table:
         d = tbl.to_pydict()
         arrays = {}
@@ -365,13 +367,19 @@ def decode_table(chunks: DataFrame, columns: list[str],
                 values, dt, logical, bytes(validity or b"")))
             if pa.types.is_timestamp(arr.type):
                 arr = arr.cast(ts_tz[col])
+            _check_decoded_type(col, arr, expected)
             arrays[col] = arr
         return pa.table({c: arrays[c] for c in columns})
 
     # applyInArrow (not applyInPandas): pandas float columns cannot
     # represent NaN-the-value distinctly from null, which would turn
-    # decoded NaNs into NULLs
+    # decoded NaNs into NULLs.
+    # Column pruning BEFORE the shuffle: only requested columns'
+    # payloads move and decode (previously every stored column was
+    # decoded, and an unrequested timestamp column crashed the tz
+    # lookup)
     return (chunks
+            .filter(F.col("column").isin(list(columns)))
             .select("chunk_id", "column", "logical_type", "validity",
                     "payload")
             .groupBy("chunk_id")
@@ -387,12 +395,40 @@ def _cast_narrow(arr: pa.Array) -> pa.Array:
     return arr
 
 
+def _expected_arrow_types(spark_schema: str) -> dict:
+    from pyspark.sql.pandas.types import to_arrow_type
+    from pyspark.sql.types import _parse_datatype_string
+
+    return {f.name: to_arrow_type(f.dataType)
+            for f in _parse_datatype_string(spark_schema).fields}
+
+
+def _check_decoded_type(col: str, arr: pa.Array, expected: dict) -> None:
+    """A declared-vs-decoded type mismatch (e.g. `html string` for a
+    binary column) otherwise surfaces as an opaque JVM
+    ArrowColumnVector accessor error deep inside the first filter —
+    fail at the kernel boundary with an actionable message instead."""
+    exp = expected.get(col)
+    if exp is None:
+        return
+    if pa.types.is_timestamp(arr.type) and pa.types.is_timestamp(exp):
+        return  # tz handling is the callers' metadata-only concern
+    if arr.type.id != exp.id:
+        raise TypeError(
+            f"decode_table: column {col!r} decodes to arrow type "
+            f"{arr.type} but the declared schema says {exp} — fix the "
+            f"schema (evolve.stored_table_schema(chunks) infers the "
+            f"stored one)")
+
+
 def _decode_table_contiguous(chunks: DataFrame, columns: list[str],
                              spark_schema: str) -> DataFrame:
     """Shuffle-free rebuild: accumulate each chunk's contiguous column
     rows within the partition stream (same pattern as the encode
     kernel), emit one original-schema batch per chunk."""
     need = set(columns)
+
+    expected = _expected_arrow_types(spark_schema)
 
     def fn(batch_iter):
         pending: dict = {}
@@ -407,6 +443,7 @@ def _decode_table_contiguous(chunks: DataFrame, columns: list[str],
                 if pa.types.is_timestamp(arr.type) and arr.type.tz:
                     # mapInArrow expects naive (metadata-only strip)
                     arr = arr.cast(pa.timestamp("us"))
+                _check_decoded_type(col, arr, expected)
                 arrays[col] = arr
             return pa.RecordBatch.from_arrays(
                 [arrays[c] for c in columns], names=list(columns))
@@ -433,10 +470,34 @@ def _decode_table_contiguous(chunks: DataFrame, columns: list[str],
             .mapInArrow(fn, spark_schema))
 
 
+def push_chunk_filter(chunks: DataFrame, pruned: DataFrame,
+                      max_ids: int = 256) -> DataFrame:
+    """Convert a pruned chunk set into a *scan-pushable* id predicate.
+
+    The semi-join that prune_chunks* builds cannot reach the file
+    scan: Spark reads every chunk's payload bytes and only then drops
+    the non-qualifying rows — fine for saved decode, wrong for saved
+    I/O.  When pruning was selective (≤ max_ids surviving chunks, the
+    point-lookup case), collecting the id list — bounded by
+    construction — and re-filtering the base scan with
+    `chunk_id IN (...)` gives parquet a PushedFilter, so row-group
+    statistics skip the payload bytes on disk too (write stores
+    sorted by chunk_id to keep row groups id-clustered).  Falls back
+    to the semi-join form when more than max_ids chunks survive.
+    """
+    ids = [r.chunk_id for r in
+           pruned.select("chunk_id").distinct()
+           .limit(max_ids + 1).collect()]
+    if len(ids) > max_ids:
+        return pruned
+    return chunks.filter(F.col("chunk_id").isin(ids))
+
+
 def scan_encoded(chunks: DataFrame, columns: list[str],
                  spark_schema: str, eq: dict | None = None,
                  ranges: dict | None = None,
-                 contiguous: bool = True) -> DataFrame:
+                 contiguous: bool = True,
+                 pushdown_ids: int | None = 256) -> DataFrame:
     """One-call filtered scan over an encoded store: the predicate
     surface a reader actually wants.
 
@@ -459,10 +520,16 @@ def scan_encoded(chunks: DataFrame, columns: list[str],
         raise ValueError(f"scan_encoded: predicate columns "
                          f"{sorted(missing)} must be in `columns` "
                          f"(the residual filter needs them decoded)")
+    base = chunks
     for col, v in eq.items():
         chunks = prune_chunks_eq(chunks, col, v)
     for col, (lo, hi) in ranges.items():
         chunks = prune_chunks(chunks, col, lo, hi)
+    if (eq or ranges) and pushdown_ids:
+        # selective prunes become a scan-pushed IN filter: parquet
+        # row-group stats then skip the payload *bytes*, not just the
+        # decode (see push_chunk_filter)
+        chunks = push_chunk_filter(base, chunks, max_ids=pushdown_ids)
     d = decode_table(chunks, columns, spark_schema,
                      contiguous=contiguous)
 
