@@ -333,3 +333,37 @@ def test_push_chunk_filter_pushes_to_scan(spark, tmp_path):
                   pushed.select("chunk_id").distinct().collect()) == \
         sorted(r.chunk_id for r in
                pruned.select("chunk_id").distinct().collect())
+
+
+def test_prune_chunks_multi_equals_sequential(spark):
+    """Single-pass multi-predicate prune keeps exactly the chunks the
+    chained per-predicate operators keep."""
+    from varint_rvv_spark.operators.decode import (
+        prune_chunks,
+        prune_chunks_multi,
+    )
+    from varint_rvv_spark.operators.encode import encode_chunks_range
+
+    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    chunks = encode_chunks_range(df, ["event_type", "ts"],
+                                 num_partitions=4,
+                                 rows_per_chunk=64).cache()
+    lo, hi = 1704844800000000, 1705449600000000
+    seq = prune_chunks(
+        prune_chunks_eq(chunks, "event_type", "click"),
+        "event_id", 100, 5000)
+    multi = prune_chunks_multi(chunks,
+                               eq={"event_type": "click"},
+                               ranges={"event_id": (100, 5000)})
+
+    def ids(ch):
+        return sorted(r.chunk_id for r in
+                      ch.select("chunk_id").distinct().collect())
+
+    assert ids(multi) == ids(seq)
+    with pytest.raises(ValueError, match="no footer rows"):
+        prune_chunks_multi(chunks, eq={"nope": "x"})
+    with pytest.raises(TypeError, match="integer probe"):
+        prune_chunks_multi(chunks, eq={"event_type": 3})
+    assert prune_chunks_multi(chunks) is chunks  # no predicates
+    chunks.unpersist()

@@ -167,6 +167,14 @@ def prune_chunks(chunks: DataFrame, column: str,
             f"prune_chunks: no footer rows for column {column!r} — "
             f"check the column name (pruning on it would drop all "
             f"chunks, not zero)")
+    # no .distinct(): a semi-join build side tolerates duplicate ids,
+    # and the dedup would add a pointless (if tiny) exchange
+    qual = col_rows.filter(_range_overlap(lo, hi)).select("chunk_id")
+    return chunks.join(F.broadcast(qual), "chunk_id", "left_semi")
+
+
+def _range_overlap(lo, hi):
+    """Zone-map overlap Column over footer rows (NULL stats → kept)."""
     vmin = F.get_json_object("stats_json", "$.vmin").cast("double")
     vmax = F.get_json_object("stats_json", "$.vmax").cast("double")
     overlap = F.lit(True)
@@ -174,9 +182,53 @@ def prune_chunks(chunks: DataFrame, column: str,
         overlap = overlap & (vmax.isNull() | (vmax >= F.lit(float(lo))))
     if hi is not None:
         overlap = overlap & (vmin.isNull() | (vmin <= F.lit(float(hi))))
-    # no .distinct(): a semi-join build side tolerates duplicate ids,
-    # and the dedup would add a pointless (if tiny) exchange
-    qual = col_rows.filter(overlap).select("chunk_id")
+    return overlap
+
+
+def prune_chunks_multi(chunks: DataFrame, eq: dict | None = None,
+                       ranges: dict | None = None) -> DataFrame:
+    """All of scan_encoded's predicates in ONE footer pass.
+
+    Chaining prune_chunks/prune_chunks_eq costs one footer scan + one
+    guard action + one broadcast per predicate; this evaluates every
+    predicate's condition on its own column's footer rows in a single
+    aggregation — a chunk qualifies when `min(ok)` over its predicate
+    rows is true (boolean min = AND; a chunk with no footer row for
+    some predicate column is conservatively kept, matching the
+    per-predicate operators).  One bounded driver action validates
+    column existence + probe types for all predicates together.
+    """
+    eq = eq or {}
+    ranges = ranges or {}
+    cols = list(eq) + [c for c in ranges if c not in eq]
+    if not cols:
+        return chunks
+    heads = {r.column: int(r.dt) for r in
+             chunks.filter(F.col("column").isin(cols))
+             .groupBy("column")
+             .agg(F.first("dtype_code").alias("dt")).collect()}
+    missing = [c for c in cols if c not in heads]
+    if missing:
+        raise ValueError(
+            f"prune_chunks_multi: no footer rows for columns "
+            f"{missing} — check the column names")
+    for col, v in eq.items():
+        _check_probe_type(heads[col], v, col, "prune_chunks_multi")
+    cond = None
+    for col in cols:
+        c = F.lit(True)
+        if col in eq:
+            c = c & _eq_may_contain(eq[col])
+        if col in ranges:
+            c = c & _range_overlap(*ranges[col])
+        cond = (F.when(F.col("column") == col, c) if cond is None
+                else cond.when(F.col("column") == col, c))
+    qual = (chunks.filter(F.col("column").isin(cols))
+            .withColumn("_ok", cond)
+            .groupBy("chunk_id")
+            .agg(F.min("_ok").alias("_all_ok"))
+            .filter(F.col("_all_ok"))
+            .select("chunk_id"))
     return chunks.join(F.broadcast(qual), "chunk_id", "left_semi")
 
 
@@ -521,10 +573,9 @@ def scan_encoded(chunks: DataFrame, columns: list[str],
                          f"{sorted(missing)} must be in `columns` "
                          f"(the residual filter needs them decoded)")
     base = chunks
-    for col, v in eq.items():
-        chunks = prune_chunks_eq(chunks, col, v)
-    for col, (lo, hi) in ranges.items():
-        chunks = prune_chunks(chunks, col, lo, hi)
+    # one footer pass for every predicate together (vs one scan +
+    # guard + broadcast per predicate when chaining the operators)
+    chunks = prune_chunks_multi(chunks, eq=eq, ranges=ranges)
     if (eq or ranges) and pushdown_ids:
         # selective prunes become a scan-pushed IN filter: parquet
         # row-group stats then skip the payload *bytes*, not just the
