@@ -208,3 +208,42 @@ def test_encode_job_cli_scan_mode_with_resume(tmp_path):
     assert r2.returncode == 0, r2.stderr[-2000:]
     j2 = json.loads(r2.stdout.strip().splitlines()[-1])
     assert j2["resumed"] is True and j2["chunk_rows"] == 0
+
+
+def test_full_store_lifecycle(spark, tmp_path):
+    """The whole operational story in one chain: encode v1 schema →
+    write store → compact → read under an evolved v2 schema → every
+    row accounted for and defaults/widenings applied."""
+    from pyspark.sql import functions as F
+
+    from varint_rvv_spark.operators.compact import compact_chunks
+    from varint_rvv_spark.operators.encode import encode_chunks_scan
+    from varint_rvv_spark.operators.evolve import (
+        decode_table_evolved,
+        stored_table_schema,
+    )
+
+    df = (spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+          .select("o_orderkey",
+                  F.col("o_custkey").cast("int").alias("o_custkey"),
+                  "o_totalprice"))
+    store = str(tmp_path / "store_v1")
+    encode_chunks_scan(df, rows_per_chunk=64).write.parquet(store)
+    stored = spark.read.parquet(store)
+    # maintenance: roll the 64-row chunks into bigger ones
+    compacted = compact_chunks(stored, target_bytes=64 << 10).cache()
+    assert (compacted.select("chunk_id").distinct().count()
+            < stored.select("chunk_id").distinct().count())
+    # schema inference still works on the compacted store
+    assert "o_custkey int" in stored_table_schema(compacted)
+    # v2 read: widen custkey, add a channel column
+    out = decode_table_evolved(
+        compacted,
+        "o_orderkey long, o_custkey long, o_totalprice double, "
+        "channel string",
+        defaults={"channel": "backfill"})
+    got = out.agg(F.count("*"), F.sum("o_custkey"),
+                  F.count_distinct("channel")).collect()[0]
+    exp = df.agg(F.count("*"), F.sum("o_custkey")).collect()[0]
+    assert (got[0], got[1]) == (exp[0], exp[1]) and got[2] == 1
+    compacted.unpersist()
