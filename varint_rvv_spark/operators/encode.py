@@ -31,7 +31,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, functions as F
 
 from ..codecs import blob as B
-from ..codecs.select import column_stats, encode_auto, select_codec
+from ..codecs.select import column_stats, encode_auto
 from .arrow_bridge import arrow_to_values, raw_nbytes, values_sha256
 from .eqstats import build_eq_stats, build_eq_stats_numeric
 
