@@ -74,3 +74,43 @@ def test_footer_percentile_name_collision_and_nullable_skip(spark):
     f = footer_of(encode_chunks(nul, key_cols=["id"], num_chunks=1))
     srow = [r for r in f.collect() if r.column == "x"][0]
     assert "qsample" not in _json.loads(srow.stats_json)
+
+
+def test_footer_range_agg_hybrid_split(spark):
+    """Exact hybrid aggregation: interior chunks answer from footer
+    stats, only boundary chunks decode, result equals plain filter."""
+    import json as _json
+
+    from varint_rvv_spark.operators.encode import (
+        encode_chunks_range,
+        footer_of,
+    )
+    from varint_rvv_spark.operators.footer_stats import footer_range_agg
+
+    df = spark.read.parquet(EVENTS)
+    chunks = encode_chunks_range(df, ["ts"], num_partitions=4,
+                                 rows_per_chunk=64).cache()
+    lo, hi = 1704844800000000, 1705449600000000 - 1
+    got = footer_range_agg(chunks, "event_id", "ts", lo, hi) \
+        .collect()[0]
+    exp = (df.filter((F.unix_micros(F.col("ts").cast("timestamp"))
+                      >= lo)
+                     & (F.unix_micros(F.col("ts").cast("timestamp"))
+                        <= hi))
+           .agg(F.count("*"), F.sum("event_id")).collect()[0])
+    assert (got.n_rows, got.total) == (exp[0], exp[1])
+    # the split is real: most overlapping chunks are interior (footer-
+    # answered), at most 2 boundary chunks per contiguous range
+    stats = [( _json.loads(r.stats_json).get("vmin"),
+               _json.loads(r.stats_json).get("vmax"))
+             for r in footer_of(chunks)
+             .filter(F.col("column") == "ts").collect()]
+    interior = sum(1 for a, b in stats if a >= lo and b <= hi)
+    boundary = sum(1 for a, b in stats
+                   if (b >= lo and a <= hi)
+                   and not (a >= lo and b <= hi))
+    assert interior >= 2 and boundary <= 2, (interior, boundary)
+    # unknown columns raise
+    with pytest.raises(ValueError, match="no footer rows"):
+        footer_range_agg(chunks, "nope", "ts", lo, hi)
+    chunks.unpersist()

@@ -69,3 +69,72 @@ def footer_percentile(chunks: DataFrame, column: str,
                          F.col("v"))).alias(nm)
             for q, nm in zip(qs, names)]
     return ranked.agg(*aggs)
+
+
+def footer_range_agg(chunks: DataFrame, value_col: str,
+                     range_col: str, lo, hi) -> DataFrame:
+    """EXACT COUNT/SUM of an integer column over a range predicate,
+    decoding only the range's *boundary* chunks.
+
+    The classic zone-map aggregation split: chunks whose [vmin, vmax]
+    on `range_col` lie fully inside [lo, hi] contribute their footer
+    stats (exact per-chunk vsum/n_values — zero payload decode);
+    chunks that merely overlap the range decode and filter normally;
+    everything else is skipped.  On a range-clustered store the
+    boundary set is O(1) chunks per query regardless of store size,
+    so the aggregate cost is footer metadata + two chunk decodes.
+
+    Interior chunks whose `value_col` lacks the exact vsum stat
+    (overflow-guarded out at encode time) are demoted to the decode
+    path — never a silent partial sum.  `range_col` must be non-null
+    (encode fills nulls, which would corrupt the containment test);
+    timestamps compare in epoch-µs.
+
+    Returns one row: (n_rows bigint, total bigint).
+    """
+    from .decode import _range_overlap, decode_table
+    from .evolve import _stored_spark_type
+
+    rc = chunks.filter(F.col("column") == range_col)
+    head = rc.select("dtype_code", "logical_type").head()
+    if head is None:
+        raise ValueError(f"footer_range_agg: no footer rows for "
+                         f"range column {range_col!r}")
+    vh = chunks.filter(F.col("column") == value_col) \
+        .select("dtype_code", "logical_type").head()
+    if vh is None:
+        raise ValueError(f"footer_range_agg: no footer rows for "
+                         f"value column {value_col!r}")
+    vmin = F.get_json_object("stats_json", "$.vmin").cast("double")
+    vmax = F.get_json_object("stats_json", "$.vmax").cast("double")
+    interior = ((vmin.isNotNull()) & (vmax.isNotNull())
+                & (vmin >= F.lit(float(lo))) & (vmax <= F.lit(float(hi))))
+    interior_ids = rc.filter(interior).select("chunk_id")
+    overlap_ids = rc.filter(_range_overlap(lo, hi)).select("chunk_id")
+    vsum = F.get_json_object("stats_json", "$.vsum").cast("long")
+    vrows = (chunks.filter(F.col("column") == value_col)
+             .join(F.broadcast(interior_ids), "chunk_id", "left_semi"))
+    good = vrows.filter(vsum.isNotNull())
+    footer_part = good.agg(
+        F.coalesce(F.sum("n_values"), F.lit(0)).alias("n_rows"),
+        F.coalesce(F.sum(vsum), F.lit(0)).alias("total"))
+    # boundary = overlapping chunks minus the footer-answered ones
+    answered = good.select("chunk_id")
+    boundary = (chunks
+                .join(F.broadcast(overlap_ids), "chunk_id", "left_semi")
+                .join(F.broadcast(answered), "chunk_id", "left_anti"))
+    r_t = _stored_spark_type(int(head.dtype_code), head.logical_type)
+    v_t = _stored_spark_type(int(vh.dtype_code), vh.logical_type)
+    d = decode_table(boundary, [value_col, range_col],
+                     f"{value_col} {v_t}, {range_col} {r_t}",
+                     contiguous=True)
+    rcol = (F.unix_micros(F.col(range_col).cast("timestamp"))
+            if r_t in ("timestamp", "timestamp_ntz")
+            else F.col(range_col))
+    decode_part = (d.filter((rcol >= F.lit(lo)) & (rcol <= F.lit(hi)))
+                   .agg(F.count(F.lit(1)).alias("n_rows"),
+                        F.coalesce(F.sum(value_col), F.lit(0))
+                        .cast("long").alias("total")))
+    return (footer_part.unionByName(decode_part)
+            .agg(F.sum("n_rows").cast("long").alias("n_rows"),
+                 F.sum("total").cast("long").alias("total")))

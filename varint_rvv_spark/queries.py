@@ -221,6 +221,30 @@ WHERE event_type = 'click'
 """
 
 
+def footer_range_agg_events(spark, sf_dir):
+    """Hybrid exact range aggregation
+    (operators/footer_stats.footer_range_agg): chunks fully inside
+    the week answer from footer vsum/n_values (zero decode); only
+    the two boundary chunks decode.  On a range-clustered store the
+    decode cost is O(1) chunks per query at any store size."""
+    from .operators.encode import encode_chunks_range
+    from .operators.footer_stats import footer_range_agg
+
+    lo_us, hi_us = 1704844800000000, 1705449600000000 - 1
+    df = _t(spark, sf_dir, "events")
+    chunks = encode_chunks_range(df, ["ts"], num_partitions=8,
+                                 rows_per_chunk=512).cache()
+    return footer_range_agg(chunks, "user_id", "ts", lo_us, hi_us)
+
+
+FOOTER_RANGE_AGG_SQL = """
+SELECT COUNT(*) AS n_rows, CAST(SUM(user_id) AS BIGINT) AS total
+FROM events
+WHERE epoch_us(ts) >= 1704844800000000
+  AND epoch_us(ts) <= 1705449600000000 - 1
+"""
+
+
 def rt_documents_source_pruned(spark, sf_dir):
     """Equality-pruned round-trip (categorical twin of
     rt_events_pruned): source-clustered chunks, footer dvset/bloom
@@ -2437,6 +2461,7 @@ QUERIES = {
     "rt_events_pruned": rt_events_pruned,
     "rt_events_zorder_pruned": rt_events_zorder_pruned,
     "scan_encoded_clicks_window": scan_encoded_clicks_window,
+    "footer_range_agg_events": footer_range_agg_events,
     "rt_documents_source_pruned": rt_documents_source_pruned,
     "rt_documents_point_lookup": rt_documents_point_lookup,
     "events_asof_purchase": events_asof_purchase,
@@ -2508,6 +2533,7 @@ ORACLES = {
     "rt_events_pruned": RT_EVENTS_PRUNED_SQL,
     "rt_events_zorder_pruned": RT_EVENTS_ZORDER_SQL,
     "scan_encoded_clicks_window": SCAN_ENCODED_CLICKS_SQL,
+    "footer_range_agg_events": FOOTER_RANGE_AGG_SQL,
     "rt_documents_source_pruned": RT_DOCS_SOURCE_PRUNED_SQL,
     "rt_documents_point_lookup": RT_DOCS_POINT_LOOKUP_SQL,
     "events_asof_purchase": EVENTS_ASOF_SQL,
