@@ -114,3 +114,113 @@ def test_footer_range_agg_hybrid_split(spark):
     with pytest.raises(ValueError, match="no footer rows"):
         footer_range_agg(chunks, "nope", "ts", lo, hi)
     chunks.unpersist()
+
+
+def test_footer_range_agg_exact_beyond_double_precision(spark):
+    """Range-column magnitudes past 2^53 (64-bit ids/fingerprints):
+    a double-cast containment test collapses adjacent values
+    (float(2^60+k) snaps to a 256-wide grid), silently classifying
+    out-of-range rows into 'interior' chunks — the long-cast test
+    must stay exact."""
+    from varint_rvv_spark.operators.encode import encode_chunks_range
+    from varint_rvv_spark.operators.footer_stats import footer_range_agg
+
+    base = 1 << 60
+    df = spark.createDataFrame([(i, base + i) for i in range(64)],
+                               "val long, rid long")
+    chunks = encode_chunks_range(df, ["rid"], num_partitions=1,
+                                 rows_per_chunk=8).cache()
+    lo, hi = base + 5, base + 40
+    got = footer_range_agg(chunks, "val", "rid", lo, hi).collect()[0]
+    exp = (df.filter((F.col("rid") >= lo) & (F.col("rid") <= hi))
+           .agg(F.count("*"), F.sum("val")).collect()[0])
+    assert (got.n_rows, got.total) == (exp[0], exp[1])
+    # fractional bounds over an integer column: [lo, hi] ≡
+    # [ceil(lo), floor(hi)] — classification stays exact
+    df2 = spark.createDataFrame([(i, i) for i in range(50)],
+                                "val long, rid long")
+    ch2 = encode_chunks_range(df2, ["rid"], num_partitions=1,
+                              rows_per_chunk=8).cache()
+    got2 = footer_range_agg(ch2, "val", "rid", 5.5, 40.2).collect()[0]
+    exp2 = (df2.filter((F.col("rid") >= 5.5) & (F.col("rid") <= 40.2))
+            .agg(F.count("*"), F.sum("val")).collect()[0])
+    assert (got2.n_rows, got2.total) == (exp2[0], exp2[1])
+    chunks.unpersist()
+    ch2.unpersist()
+
+
+def test_footer_range_agg_null_range_rows_demoted(spark):
+    """Chunks with NULL range values must decode, not footer-answer:
+    encode null-fills with 0, so when lo <= 0 <= hi the footer path
+    would count rows SQL excludes."""
+    from varint_rvv_spark.operators.encode import encode_chunks
+    from varint_rvv_spark.operators.footer_stats import footer_range_agg
+
+    df = spark.createDataFrame(
+        [(i, None if i % 7 == 0 else i) for i in range(64)],
+        "val long, rid long")
+    chunks = encode_chunks(df, key_cols=["val"], num_chunks=4).cache()
+    got = footer_range_agg(chunks, "val", "rid", -5, 100).collect()[0]
+    exp = (df.filter((F.col("rid") >= -5) & (F.col("rid") <= 100))
+           .agg(F.count("*"), F.sum("val")).collect()[0])
+    assert (got.n_rows, got.total) == (exp[0], exp[1])
+    assert got.n_rows == 64 - len([i for i in range(64) if i % 7 == 0])
+    chunks.unpersist()
+
+
+def test_footer_range_agg_partial_coverage_raises(spark):
+    """A store where the range or value column lacks footer rows for
+    some chunks (schema evolution) must raise, not silently drop the
+    uncovered chunks' rows from the 'exact' aggregate."""
+    from varint_rvv_spark.operators.encode import encode_chunks
+    from varint_rvv_spark.operators.footer_stats import footer_range_agg
+
+    df = spark.createDataFrame([(i, i) for i in range(64)],
+                               "val long, rid long")
+    chunks = encode_chunks(df, key_cols=["val"], num_chunks=4).cache()
+    one = chunks.filter(F.col("column") == "rid") \
+        .select("chunk_id").head().chunk_id
+    partial = chunks.filter(~((F.col("column") == "rid")
+                              & (F.col("chunk_id") == one)))
+    with pytest.raises(ValueError, match="cover"):
+        footer_range_agg(partial, "val", "rid", 0, 100)
+    chunks.unpersist()
+
+
+def test_footer_range_agg_store_read_chunks(spark, tmp_path):
+    """The primary use case — chunks read back from a parquet store —
+    must work with the default contiguous=False (file splits break
+    chunk adjacency; the old hard-coded contiguous=True crashed)."""
+    from varint_rvv_spark.operators.encode import encode_chunks_range
+    from varint_rvv_spark.operators.footer_stats import footer_range_agg
+
+    df = spark.read.parquet(EVENTS)
+    path = str(tmp_path / "store")
+    encode_chunks_range(df, ["ts"], num_partitions=4,
+                        rows_per_chunk=64).write.parquet(path)
+    back = spark.read.parquet(path)
+    lo, hi = 1704844800000000, 1705449600000000 - 1
+    got = footer_range_agg(back, "event_id", "ts", lo, hi).collect()[0]
+    exp = (df.filter((F.unix_micros(F.col("ts").cast("timestamp"))
+                      >= lo)
+                     & (F.unix_micros(F.col("ts").cast("timestamp"))
+                        <= hi))
+           .agg(F.count("*"), F.sum("event_id")).collect()[0])
+    assert (got.n_rows, got.total) == (exp[0], exp[1])
+
+
+def test_footer_percentile_sample_window_is_partitioned(spark):
+    """The per-sample ordered window must be partitioned (by winning
+    bucket) — the scale fix: no single-partition exchange ever carries
+    sample rows, only the ≤1024 aggregated bucket rows."""
+    df = spark.read.parquet(EVENTS)
+    chunks = encode_chunks(df, key_cols=["event_id"],
+                           num_chunks=16).cache()
+    est = footer_percentile(chunks, "value", [0.5])
+    plan = est._jdf.queryExecution().executedPlan().toString()
+    v_windows = [ln for ln in plan.split("\n")
+                 if "Window [" in ln and "v#" in ln]
+    assert v_windows, "expected a sample-level window in the plan"
+    for ln in v_windows:
+        assert "bucket" in ln, f"sample window not partitioned: {ln}"
+    chunks.unpersist()

@@ -548,7 +548,7 @@ def push_chunk_filter(chunks: DataFrame, pruned: DataFrame,
 def scan_encoded(chunks: DataFrame, columns: list[str],
                  spark_schema: str, eq: dict | None = None,
                  ranges: dict | None = None,
-                 contiguous: bool = True,
+                 contiguous: bool = False,
                  pushdown_ids: int | None = 256) -> DataFrame:
     """One-call filtered scan over an encoded store: the predicate
     surface a reader actually wants.
@@ -564,6 +564,11 @@ def scan_encoded(chunks: DataFrame, columns: list[str],
 
     Predicate columns must be in `columns` (the residual filter needs
     them decoded) — raises otherwise.
+
+    `contiguous` defaults to False because the primary use case is a
+    store read back from parquet, where file splits break chunk
+    adjacency (the repo invariant); pass True only when scanning a
+    fresh in-session encode lineage.
     """
     eq = eq or {}
     ranges = ranges or {}

@@ -15,23 +15,41 @@ concentrates around ±1/√(32·C) — at 100 TB (~10⁶ chunks) that is a
 without a sample (all-NaN, singleton) are simply absent from the
 pool; the estimate stays valid for the sampled mass.
 
-Plan shape: the explode/window runs on footer metadata (≤32 rows per
-chunk), not data — the single-partition ordered window is the same
-deliberate metadata-scale trade as compact_chunks' bin packing.
+Plan shape: two-level merge.  Pooled samples hash into ≤1024
+equal-width value buckets (bucketing is monotone in v, so bucket
+order = value order); the cumulative-rank window runs over the ~10³
+AGGREGATED bucket rows only, and the ordered per-sample window runs
+only inside the ≤len(qs) winning buckets, partitioned by bucket.  No
+single-partition exchange ever carries sample rows — at 100 TB
+(~1.6 M chunks → ~50 M pooled samples) the old global
+`Window.orderBy(v)` funneled all of them through one task.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+_N_BUCKETS = 1024
+
 
 def footer_percentile(chunks: DataFrame, column: str,
                       qs: list[float]) -> DataFrame:
     """One-row DataFrame with an approximate percentile per q in `qs`
-    (columns ``p<q*100>``), computed from footer samples only."""
+    (columns ``p<q*100>``), computed from footer samples only.
+
+    Estimator: smallest pooled-sample value whose cumulative weight
+    reaches q·total — identical to a direct weighted scan in global
+    value order, factored so no window ever sees the full sample set
+    in one partition (see module docstring).
+    """
     if not qs or any(not (0.0 < q <= 1.0) for q in qs):
         raise ValueError("footer_percentile: quantiles must be in "
                          "(0, 1]")
+    names = ["p" + f"{q * 100:g}".replace(".", "_") for q in qs]
+    if len(set(names)) != len(names):
+        raise ValueError(
+            f"footer_percentile: quantiles {qs} map to colliding "
+            f"column names {names}")
     col_rows = chunks.filter(F.col("column") == column)
     samples = (col_rows
                .select("n_values",
@@ -48,31 +66,74 @@ def footer_percentile(chunks: DataFrame, column: str,
             f"footer_percentile: no footer samples for column "
             f"{column!r} (wrong name, varlen column, or non-finite "
             f"chunks) — decode and use percentile_approx instead")
-    w_cum = (Window.orderBy("v")
-             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    w_all = (Window.orderBy("v")
-             .rowsBetween(Window.unboundedPreceding,
-                          Window.unboundedFollowing))
-    ranked = (samples
-              .withColumn("cum", F.sum("w").over(w_cum))
-              # tot = max of the RUNNING sum, not an independent
-              # whole-frame sum: a separate sum may add in a different
-              # order and land an ulp above the last cum, which would
-              # make `cum >= 1.0 * tot` false everywhere (q=1.0 → NULL)
-              .withColumn("tot", F.max("cum").over(w_all)))
-    names = ["p" + f"{q * 100:g}".replace(".", "_") for q in qs]
-    if len(set(names)) != len(names):
-        raise ValueError(
-            f"footer_percentile: quantiles {qs} map to colliding "
-            f"column names {names}")
-    aggs = [F.min(F.when(F.col("cum") >= F.lit(q) * F.col("tot"),
-                         F.col("v"))).alias(nm)
-            for q, nm in zip(qs, names)]
-    return ranked.agg(*aggs)
+    # level 1: equal-width bucket ids from the global span (one tiny
+    # broadcast row — stays in-plan, no driver action)
+    bounds = samples.agg(F.min("v").alias("gmin"),
+                         F.max("v").alias("gmax"))
+    span = F.col("gmax") - F.col("gmin")
+    s = (samples.crossJoin(F.broadcast(bounds))
+         .withColumn(
+             "bucket",
+             F.when(span <= 0, F.lit(0)).otherwise(
+                 F.least(F.floor((F.col("v") - F.col("gmin")) / span
+                                 * _N_BUCKETS).cast("int"),
+                         F.lit(_N_BUCKETS - 1)))))
+    buckets = s.groupBy("bucket").agg(F.sum("w").alias("bw"),
+                                      F.max("v").alias("bvmax"))
+    # cumulative rank over ≤1024 aggregated rows (the only
+    # orderBy-without-partitionBy windows — metadata scale by
+    # construction, same trade as compact_chunks' bin packing)
+    wb_cum = (Window.orderBy("bucket")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wb_all = (Window.orderBy("bucket")
+              .rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing))
+    buckets = (buckets
+               .withColumn("cum_b", F.sum("bw").over(wb_cum))
+               # tot = max of the RUNNING sum, not an independent
+               # whole-frame sum: a separate sum may add in a different
+               # order and land an ulp above the last cum, which would
+               # make `cum >= 1.0 * tot` false everywhere (q=1.0 → NULL)
+               .withColumn("tot", F.max("cum_b").over(wb_all))
+               .withColumn("prev", F.col("cum_b") - F.col("bw")))
+    # winning bucket per q: first bucket whose bucket-level cumulative
+    # weight reaches the target rank
+    qarr = F.array(*[F.struct(F.lit(q).alias("q"), F.lit(nm).alias("nm"))
+                     for q, nm in zip(qs, names)])
+    winners = (buckets
+               .select(F.explode(qarr).alias("qq"), "bucket", "cum_b",
+                       "prev", "tot", "bvmax")
+               .filter(F.col("cum_b") >= F.col("qq.q") * F.col("tot"))
+               .groupBy("qq")
+               .agg(F.min_by(
+                   F.struct("bucket", "prev", "tot", "bvmax"),
+                   "bucket").alias("wb"))
+               .select(F.col("qq.q").alias("q"), F.col("qq.nm").alias("nm"),
+                       F.col("wb.bucket").alias("bucket"),
+                       F.col("wb.prev").alias("prev"),
+                       F.col("wb.tot").alias("tot"),
+                       F.col("wb.bvmax").alias("bvmax")))
+    # level 2: ordered scan INSIDE the winning buckets only,
+    # partitioned by (nm, bucket) — each holds ~1/1024 of the pool
+    cand = s.join(F.broadcast(winners), "bucket")
+    w_in = (Window.partitionBy("nm", "bucket").orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cand = cand.withColumn("gcum", F.col("prev") + F.sum("w").over(w_in))
+    picks = (cand.groupBy("nm")
+             # the winning bucket's last value satisfies the target in
+             # exact arithmetic; if within-bucket float re-association
+             # leaves no row ≥ target, that last value (bvmax) is the
+             # answer
+             .agg(F.coalesce(
+                 F.min(F.when(F.col("gcum") >= F.col("q") * F.col("tot"),
+                              F.col("v"))),
+                 F.first("bvmax")).alias("ans")))
+    return picks.groupBy().pivot("nm", names).agg(F.first("ans"))
 
 
 def footer_range_agg(chunks: DataFrame, value_col: str,
-                     range_col: str, lo, hi) -> DataFrame:
+                     range_col: str, lo, hi,
+                     contiguous: bool = False) -> DataFrame:
     """EXACT COUNT/SUM of an integer column over a range predicate,
     decoding only the range's *boundary* chunks.
 
@@ -84,15 +145,31 @@ def footer_range_agg(chunks: DataFrame, value_col: str,
     boundary set is O(1) chunks per query regardless of store size,
     so the aggregate cost is footer metadata + two chunk decodes.
 
-    Interior chunks whose `value_col` lacks the exact vsum stat
-    (overflow-guarded out at encode time) are demoted to the decode
-    path — never a silent partial sum.  `range_col` must be non-null
-    (encode fills nulls, which would corrupt the containment test);
-    timestamps compare in epoch-µs.
+    Exactness guards (each demotes to the decode path or raises —
+    never a silent wrong sum):
+
+    * interior containment compares integer/timestamp stats as LONG
+      (a double cast collapses adjacent values past 2^53 — 64-bit
+      ids/fingerprints would misclassify boundary chunks as interior);
+    * interior chunks whose `value_col` lacks the exact vsum stat
+      (overflow-guarded out at encode time) decode instead;
+    * chunks whose `range_col` contains NULLs (encode null-fills, so
+      the footer path would count rows SQL excludes) decode instead;
+    * every chunk must have a footer row for both columns — a store
+      where either column was added later via schema evolution raises
+      rather than silently dropping the uncovered chunks.
+
+    `contiguous` follows decode_table's default (False): chunks read
+    back from a parquet store lose chunk adjacency across file splits;
+    pass True only on a fresh in-session encode lineage.
+    Timestamps compare in epoch-µs.
 
     Returns one row: (n_rows bigint, total bigint).
     """
-    from .decode import _range_overlap, decode_table
+    import math
+
+    from ..codecs import blob as B
+    from .decode import decode_table
     from .evolve import _stored_spark_type
 
     rc = chunks.filter(F.col("column") == range_col)
@@ -105,12 +182,44 @@ def footer_range_agg(chunks: DataFrame, value_col: str,
     if vh is None:
         raise ValueError(f"footer_range_agg: no footer rows for "
                          f"value column {value_col!r}")
-    vmin = F.get_json_object("stats_json", "$.vmin").cast("double")
-    vmax = F.get_json_object("stats_json", "$.vmax").cast("double")
-    interior = ((vmin.isNotNull()) & (vmax.isNotNull())
-                & (vmin >= F.lit(float(lo))) & (vmax <= F.lit(float(hi))))
+    cov = chunks.agg(
+        F.countDistinct("chunk_id").alias("all_ids"),
+        F.countDistinct(F.when(F.col("column") == range_col,
+                               F.col("chunk_id"))).alias("r_ids"),
+        F.countDistinct(F.when(F.col("column") == value_col,
+                               F.col("chunk_id"))).alias("v_ids")).head()
+    if cov.r_ids != cov.all_ids or cov.v_ids != cov.all_ids:
+        raise ValueError(
+            f"footer_range_agg: footer rows for "
+            f"{range_col!r}/{value_col!r} cover "
+            f"{cov.r_ids}/{cov.v_ids} of {cov.all_ids} chunks — a "
+            f"partially-covered store (schema evolution?) would "
+            f"silently drop the uncovered chunks' rows; decode and "
+            f"aggregate instead")
+    np_dt = B.NUMERIC_NP.get(int(head.dtype_code))
+    if np_dt is not None and np_dt.kind in "iu":
+        # exact long comparison; [lo, hi] over integers ≡
+        # [ceil(lo), floor(hi)], so fractional bounds stay exact too
+        vmin = F.get_json_object("stats_json", "$.vmin").cast("long")
+        vmax = F.get_json_object("stats_json", "$.vmax").cast("long")
+        lo_b, hi_b = (F.lit(int(math.ceil(lo))),
+                      F.lit(int(math.floor(hi))))
+    else:
+        vmin = F.get_json_object("stats_json", "$.vmin").cast("double")
+        vmax = F.get_json_object("stats_json", "$.vmax").cast("double")
+        lo_b, hi_b = F.lit(float(lo)), F.lit(float(hi))
+    # null-filled range values poison the containment test (fill=0):
+    # any chunk with a validity bitmap on range_col decodes instead
+    no_nulls = F.coalesce(F.length("validity"), F.lit(0)) == 0
+    interior = (vmin.isNotNull() & vmax.isNotNull()
+                & (vmin >= lo_b) & (vmax <= hi_b) & no_nulls)
+    # overlap stays conservative: null stats → kept (decode path);
+    # the null-fill only ever WIDENS [vmin, vmax], so a chunk with
+    # NULL range rows can gain overlap but never lose it
+    overlap = ((vmax.isNull() | (vmax >= lo_b))
+               & (vmin.isNull() | (vmin <= hi_b)))
     interior_ids = rc.filter(interior).select("chunk_id")
-    overlap_ids = rc.filter(_range_overlap(lo, hi)).select("chunk_id")
+    overlap_ids = rc.filter(overlap).select("chunk_id")
     vsum = F.get_json_object("stats_json", "$.vsum").cast("long")
     vrows = (chunks.filter(F.col("column") == value_col)
              .join(F.broadcast(interior_ids), "chunk_id", "left_semi"))
@@ -127,7 +236,7 @@ def footer_range_agg(chunks: DataFrame, value_col: str,
     v_t = _stored_spark_type(int(vh.dtype_code), vh.logical_type)
     d = decode_table(boundary, [value_col, range_col],
                      f"{value_col} {v_t}, {range_col} {r_t}",
-                     contiguous=True)
+                     contiguous=contiguous)
     rcol = (F.unix_micros(F.col(range_col).cast("timestamp"))
             if r_t in ("timestamp", "timestamp_ntz")
             else F.col(range_col))

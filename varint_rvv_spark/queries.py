@@ -205,7 +205,8 @@ def scan_encoded_clicks_window(spark, sf_dir):
                                  rows_per_chunk=512).cache()
     d = scan_encoded(chunks, df.columns, TABLE_SCHEMAS["events"],
                      eq={"event_type": "click"},
-                     ranges={"ts": (lo_us, hi_us - 1)})
+                     ranges={"ts": (lo_us, hi_us - 1)},
+                     contiguous=True)  # fresh in-session lineage
     return d.agg(F.count("*").alias("n_events"),
                  F.sum("event_id").alias("sum_ids"),
                  F.round(F.sum("value"), 4).alias("sum_value"))
@@ -234,7 +235,8 @@ def footer_range_agg_events(spark, sf_dir):
     df = _t(spark, sf_dir, "events")
     chunks = encode_chunks_range(df, ["ts"], num_partitions=8,
                                  rows_per_chunk=512).cache()
-    return footer_range_agg(chunks, "user_id", "ts", lo_us, hi_us)
+    return footer_range_agg(chunks, "user_id", "ts", lo_us, hi_us,
+                            contiguous=True)  # fresh lineage
 
 
 FOOTER_RANGE_AGG_SQL = """
