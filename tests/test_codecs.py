@@ -365,16 +365,70 @@ def test_arrow_bridge_date_bool_decimal_and_list_nulls():
         assert back.to_pylist() == arr.to_pylist()
 
 
-def test_arrow_bridge_rejects_wide_decimal_and_null_elements():
+def test_arrow_bridge_rejects_wide_decimal():
+    """decimal(p>18) must fail LOUDLY at the bridge boundary (the
+    unscaled value may not fit int64) — never wrap deep in a kernel."""
+    import decimal as D
+
     import pyarrow as pa
 
     from varint_rvv_spark.operators.arrow_bridge import arrow_to_values
 
     with pytest.raises(TypeError, match="precision"):
         arrow_to_values(pa.array([None], type=pa.decimal128(38, 2)))
-    with pytest.raises(TypeError, match="null list elements"):
-        arrow_to_values(pa.array([[1.0, None]],
-                                 type=pa.list_(pa.float32())))
+    with pytest.raises(TypeError, match="precision"):
+        arrow_to_values(pa.array(
+            [D.Decimal("12345678901234567890.123456")],
+            type=pa.decimal128(38, 6)))
+
+
+def test_list_nested_and_logical_children_roundtrip():
+    """list<struct>/list<list>/list<timestamp>/element-null children
+    route through the tagged-child framing (codecs/lists.py) and
+    round-trip exactly — the token-annotation column shape."""
+    import pyarrow as pa
+
+    from varint_rvv_spark.operators.arrow_bridge import (
+        arrow_to_values,
+        values_sha256,
+        values_to_arrow,
+    )
+
+    ann_t = pa.list_(pa.struct([("pos", pa.int32()),
+                                ("tok", pa.string()),
+                                ("tok_len", pa.int32())]))
+    cases = [
+        # annotated spans: null rows, empty lists, null struct fields
+        pa.array([[{"pos": 1, "tok": "a", "tok_len": 1},
+                   {"pos": 2, "tok": None, "tok_len": None}],
+                  [], None,
+                  [{"pos": 1, "tok": "xyz", "tok_len": 3}]], type=ann_t),
+        pa.array([[[1, 2], [3]], [], None, [[], [4, 5, 6]]],
+                 type=pa.list_(pa.list_(pa.int64()))),
+        pa.array([[1_700_000_000_000_000, 2], [3], None, []],
+                 type=pa.list_(pa.timestamp("us"))),
+        # element nulls in numeric/string children (previously a hard
+        # error) now ride the tagged child's validity bitmap
+        pa.array([[1, None, 3], [None], None, [4]],
+                 type=pa.list_(pa.int64())),
+        pa.array([["a", None], ["b"], None, []],
+                 type=pa.list_(pa.string())),
+    ]
+    for arr in cases:
+        v, dt, logical, validity = arrow_to_values(arr)
+        assert dt == B.DT_LIST
+        blob, codec_id, _ = C.encode_auto(v, dt)
+        assert codec_id == B.LIST
+        back_vals = B.decode_values(blob)
+        assert values_sha256(back_vals, dt) == values_sha256(v, dt)
+        back = values_to_arrow(back_vals, dt, logical, validity)
+        assert back.to_pylist() == arr.to_pylist(), arr.type
+    # plain numeric list payloads keep the pre-nested framing (first
+    # byte = bare child dtype, no 0x80 tag) — stored-format stability
+    plain = pa.array([[1.5, 2.5], [3.5]], type=pa.list_(pa.float64()))
+    v, dt, _, _ = arrow_to_values(plain)
+    blob, _, _ = C.encode_auto(v, dt)
+    assert blob[B.HEADER_LEN] == B.DT_F64  # untagged child byte
 
 
 def test_struct_and_map_roundtrip_all_shapes():

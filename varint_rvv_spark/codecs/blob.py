@@ -151,17 +151,26 @@ class MapValues:
 
 @dataclass
 class ListValues:
-    """Flattened list<numeric> column: Arrow list layout.
+    """Flattened list column: Arrow list layout.
 
     One values stream + per-row lengths (as offsets) — the standard
     columnar decomposition of a nested column, so the child stream
-    routes through the existing numeric codec stack (SPLIT/SCALED/zstd
-    for embeddings, varint family for int lists).
+    routes through the existing codec stack (SPLIT/SCALED/zstd for
+    embeddings, varint family for int lists, zstd/dict/FSST for token
+    lists, and recursively the LIST/STRUCT/MAP containers for
+    list<struct<...>> / list<list<...>> children).
+
+    child_logical/child_validity carry the child's logical-type tag
+    and element-level validity bitmap (the ChildCol twin) — defaults
+    mean "plain child, no element nulls", which keeps simple numeric/
+    varlen list payloads byte-identical to the pre-nested format.
     """
 
     offsets: np.ndarray   # int64[n+1], offsets[0] == 0, monotone
-    child: np.ndarray     # numeric child values, len == offsets[-1]
-    child_dtype: int      # DT_* numeric code of the child stream
+    child: object         # numpy / VarlenArray / nested container
+    child_dtype: int      # DT_* code of the child stream
+    child_logical: str = "plain"
+    child_validity: bytes = b""
 
     def __len__(self) -> int:
         return self.offsets.shape[0] - 1

@@ -107,26 +107,34 @@ def _map_to_values(arr: pa.MapArray):
 
 
 def _list_to_values(arr: pa.Array) -> B.ListValues:
-    """list/large_list/fixed_size_list<numeric|string|binary> →
-    ListValues (flattened child stream + offsets)."""
+    """list/large_list/fixed_size_list<T> → ListValues (flattened
+    child stream + offsets).
+
+    Numeric and string/binary children take the direct fast paths
+    (payloads stay byte-identical to the pre-nested format); every
+    other child type — struct, list, map, timestamp, date, bool,
+    decimal, narrow int — recurses through arrow_to_values, carrying
+    the child's logical tag and element-level validity bitmap."""
     from ..codecs.composite import pa_to_varlen
 
     vt = arr.type.value_type
     code = _LIST_CHILD_CODES.get(vt)
-    if code is None and not (pa.types.is_string(vt)
-                             or pa.types.is_large_string(vt)
-                             or pa.types.is_binary(vt)
-                             or pa.types.is_large_binary(vt)):
-        raise TypeError(f"unsupported list child type {vt}")
+    simple_varlen = (pa.types.is_string(vt) or pa.types.is_large_string(vt)
+                     or pa.types.is_binary(vt)
+                     or pa.types.is_large_binary(vt))
     arr = arr.cast(pa.large_list(vt))
     raw_off = arr.offsets.to_numpy(zero_copy_only=False)
     base = int(raw_off[0])
     offsets = (raw_off - base).astype(np.int64)
     child = arr.values.slice(base, int(offsets[-1]))
-    if child.null_count:
-        raise TypeError(
-            "null list elements are not supported (null rows are; "
-            "fill or drop element-level nulls before encoding)")
+    if (code is None and not simple_varlen) or child.null_count:
+        # general child: recurse — element nulls ride the child's own
+        # validity bitmap, exactly like any top-level column's (this
+        # also lifts the old hard error on null numeric/string
+        # elements)
+        cv, cdt, clog, cval = arrow_to_values(child)
+        return B.ListValues(offsets=offsets, child=cv, child_dtype=cdt,
+                            child_logical=clog, child_validity=cval)
     if code is None:  # varlen child: tokens/tags lists
         is_str = (pa.types.is_string(vt)
                   or pa.types.is_large_string(vt))
@@ -275,7 +283,17 @@ def _values_to_list_arrow(values: "B.ListValues", logical: str,
     straight into the list layout's own validity buffer — null rows
     were encoded as empty lists, so offsets stay monotone.
     """
-    if B.is_varlen(values.child_dtype):
+    tagged = (values.child_validity
+              or values.child_logical not in ("", LT_PLAIN)
+              or B.is_nested(values.child_dtype))
+    if tagged:
+        # general child (struct/list/map/timestamp/decimal/... or
+        # element nulls): rebuild through the full inverse bridge
+        child = _narrow(values_to_arrow(
+            values.child, values.child_dtype, values.child_logical,
+            values.child_validity))
+        child_type = child.type
+    elif B.is_varlen(values.child_dtype):
         from ..codecs.composite import varlen_to_pa
 
         child = varlen_to_pa(values.child).cast(
@@ -393,6 +411,12 @@ def values_sha256(values, dtype_code: int) -> str:
     elif B.is_list(dtype_code):
         h.update(np.ascontiguousarray(values.lengths(), dtype="<i8").data)
         h.update(bytes([values.child_dtype]))
+        if values.child_validity or values.child_logical != LT_PLAIN:
+            # tagged child: fold logical + element validity into the
+            # witness (absent for plain children, so hashes of
+            # pre-nested stores stay stable)
+            h.update(values.child_logical.encode("utf-8"))
+            h.update(values.child_validity)
         h.update(values_sha256(values.child,
                                values.child_dtype).encode())
     else:

@@ -1000,6 +1000,58 @@ FROM t GROUP BY lang
 """
 
 
+def rt_documents_annotations(spark, sf_dir):
+    """array<struct<...>> column round-trip: per-token annotation
+    spans (the curated-training-data shape — position, token, length
+    per token), pushed through encode → decode.  The LIST codec
+    recurses into the STRUCT codec for its child stream
+    (codecs/lists.py tagged-child framing), so each struct field
+    still gets its own auto-selected stream.  Aggregating the decoded
+    spans against the flat-SQL oracle proves the nested
+    reconstruction is exact."""
+    from .functions import md5_long, tokens
+
+    d = _t(spark, sf_dir, "documents")
+    toks5 = F.slice(tokens("text"), 1, 5)
+    anns = F.filter(
+        F.transform(toks5, lambda t, i: F.struct(
+            (i + F.lit(1)).cast("int").alias("pos"),
+            t.alias("tok"),
+            F.length(t).cast("int").alias("tok_len"))),
+        lambda a: a["tok_len"] > 0)  # empty text → [''] → []
+    df = d.select("doc_id", anns.alias("anns"))
+    schema = ("doc_id long, "
+              "anns array<struct<pos:int,tok:string,tok_len:int>>")
+    chunks = encode_chunks(df, key_cols=["doc_id"], num_chunks=8)
+    dec = decode_table(chunks, df.columns, schema, contiguous=True)
+    e = dec.select(F.explode("anns").alias("a"))
+    return (e.groupBy(F.col("a.pos").alias("pos"))
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.sum("a.tok_len").alias("sum_len"),
+                 F.sum(md5_long(F.col("a.tok"), 8))
+                 .alias("sum_tok_hash"))
+            .orderBy("pos"))
+
+
+RT_DOCUMENTS_ANNOTATIONS_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_slice(string_split_regex(trim(text), '\s+'), 1, 5)
+           AS toks
+  FROM documents),
+e AS (
+  SELECT unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
+  FROM t)
+SELECT CAST(pos AS INTEGER) AS pos, COUNT(*) AS n_tokens,
+       CAST(SUM(length(tok)) AS BIGINT) AS sum_len,
+       CAST(SUM(CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT))
+            AS BIGINT) AS sum_tok_hash
+FROM e
+WHERE length(tok) > 0
+GROUP BY pos ORDER BY pos
+"""
+
+
 def rt_events_struct_map(spark, sf_dir):
     """STRUCT + MAP column round-trip: derive a struct<uid,val> and a
     map<string,string> (parsed from the JSON props) from events, push
@@ -2423,57 +2475,13 @@ def codec_footer_documents(spark, sf_dir):
             .orderBy("column"))
 
 
+# Insertion order is load-bearing: the driver's per-round correctness
+# gate runs exactly the FIRST 50 entries.  Queries that have never
+# received a driver row (or whose implementation changed this round)
+# come first; long-stable shapes with historical green rows rotate to
+# the back — all 75 stay covered by tests/test_oracle_parity.py.
 QUERIES = {
-    "rt_documents_by_lang": rt_documents_by_lang,
-    "rt_events_by_type": rt_events_by_type,
-    "rt_lineitem_q1": rt_lineitem_q1,
-    "tpch_q1": tpch_q1,
-    "tpch_q3_shipping": tpch_q3_shipping,
-    "tpch_q6_revenue": tpch_q6_revenue,
-    "broadcast_join_geo": broadcast_join_geo,
-    "window_order_rank": window_order_rank,
-    "setop_orders_no_lineitem": setop_orders_no_lineitem,
-    "events_daily": events_daily,
-    "dedup_exact_documents": dedup_exact_documents,
-    "text_stats_documents": text_stats_documents,
-    "embedding_topk_cosine": embedding_topk_cosine,
-    "codec_footer_documents": codec_footer_documents,
-    "dedup_minhash_lsh": dedup_minhash_lsh,
-    "dedup_ngram_jaccard": dedup_ngram_jaccard,
-    "dedup_span_coverage": dedup_span_coverage,
-    "dedup_minhash_survivors": dedup_minhash_survivors,
-    "dedup_simhash": dedup_simhash,
-    "embedding_neardup": embedding_neardup,
-    "embedding_neardup_survivors": embedding_neardup_survivors,
-    "sample_documents_deterministic": sample_documents_deterministic,
-    "pipeline_clean_corpus": pipeline_clean_corpus,
-    "text_lang_id": text_lang_id,
-    "text_token_counts": text_token_counts,
-    "text_fingerprint_dupes": text_fingerprint_dupes,
-    "similarity_cosine_topk": similarity_cosine_topk,
-    "similarity_lsh_topk": similarity_lsh_topk,
-    "similarity_ivf_topk": similarity_ivf_topk,
-    "multimodal_features": multimodal_features,
-    "events_json_props": events_json_props,
-    "part_scalar_math": part_scalar_math,
-    "embeddings_array_ops": embeddings_array_ops,
-    "customer_median_balance": customer_median_balance,
-    "text_quality_by_lang": text_quality_by_lang,
-    "rt_events_scanmode": rt_events_scanmode,
-    "rt_events_pruned": rt_events_pruned,
-    "rt_events_zorder_pruned": rt_events_zorder_pruned,
-    "scan_encoded_clicks_window": scan_encoded_clicks_window,
-    "footer_range_agg_events": footer_range_agg_events,
-    "rt_documents_source_pruned": rt_documents_source_pruned,
-    "rt_documents_point_lookup": rt_documents_point_lookup,
-    "events_asof_purchase": events_asof_purchase,
-    "events_sessionize": events_sessionize,
-    "events_range_join_sessions": events_range_join_sessions,
-    "events_pivot_daily": events_pivot_daily,
-    "text_pii_mask": text_pii_mask,
-    "text_vocab_topk": text_vocab_topk,
-    "sample_stratified_by_quality": sample_stratified_by_quality,
-    "orders_cube": orders_cube,
+    # -- never driver-checked before round 4 (positions 1-15) --------
     "tpch_q22ish_dormant_rich": tpch_q22ish_dormant_rich,
     "tpch_q16ish_supplier_variety": tpch_q16ish_supplier_variety,
     "tpch_q7ish_nation_trade": tpch_q7ish_nation_trade,
@@ -2488,9 +2496,63 @@ QUERIES = {
     "rt_orders_dates": rt_orders_dates,
     "rt_events_struct_map": rt_events_struct_map,
     "rt_documents_tokens": rt_documents_tokens,
+    "rt_events_forced_float_codecs": rt_events_forced_float_codecs,
+    # -- new or changed in round 4 -----------------------------------
+    "rt_documents_annotations": rt_documents_annotations,
+    "footer_range_agg_events": footer_range_agg_events,
+    "scan_encoded_clicks_window": scan_encoded_clicks_window,
+    # -- flagship per-family rows ------------------------------------
+    "rt_documents_by_lang": rt_documents_by_lang,
+    "rt_events_by_type": rt_events_by_type,
+    "rt_lineitem_q1": rt_lineitem_q1,
+    "tpch_q1": tpch_q1,
+    "tpch_q3_shipping": tpch_q3_shipping,
+    "tpch_q6_revenue": tpch_q6_revenue,
+    "broadcast_join_geo": broadcast_join_geo,
+    "window_order_rank": window_order_rank,
+    "setop_orders_no_lineitem": setop_orders_no_lineitem,
+    "events_daily": events_daily,
+    "dedup_exact_documents": dedup_exact_documents,
+    "text_stats_documents": text_stats_documents,
+    "embedding_topk_cosine": embedding_topk_cosine,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_span_coverage": dedup_span_coverage,
+    "dedup_minhash_survivors": dedup_minhash_survivors,
+    "dedup_simhash": dedup_simhash,
+    "embedding_neardup": embedding_neardup,
+    "embedding_neardup_survivors": embedding_neardup_survivors,
+    "similarity_cosine_topk": similarity_cosine_topk,
+    "similarity_lsh_topk": similarity_lsh_topk,
+    "similarity_ivf_topk": similarity_ivf_topk,
+    "multimodal_features": multimodal_features,
+    "events_asof_purchase": events_asof_purchase,
+    "events_sessionize": events_sessionize,
+    "events_range_join_sessions": events_range_join_sessions,
+    "rt_events_scanmode": rt_events_scanmode,
+    "rt_events_pruned": rt_events_pruned,
+    "rt_events_zorder_pruned": rt_events_zorder_pruned,
+    "rt_documents_point_lookup": rt_documents_point_lookup,
+    "rt_documents_source_pruned": rt_documents_source_pruned,
+    # ---- driver window ends at 50 entries (here) -------------------
+    "codec_footer_documents": codec_footer_documents,
+    "sample_documents_deterministic": sample_documents_deterministic,
+    "pipeline_clean_corpus": pipeline_clean_corpus,
+    "text_lang_id": text_lang_id,
+    "text_token_counts": text_token_counts,
+    "text_fingerprint_dupes": text_fingerprint_dupes,
+    "events_json_props": events_json_props,
+    "part_scalar_math": part_scalar_math,
+    "embeddings_array_ops": embeddings_array_ops,
+    "customer_median_balance": customer_median_balance,
+    "text_quality_by_lang": text_quality_by_lang,
+    "events_pivot_daily": events_pivot_daily,
+    "text_pii_mask": text_pii_mask,
+    "text_vocab_topk": text_vocab_topk,
+    "sample_stratified_by_quality": sample_stratified_by_quality,
+    "orders_cube": orders_cube,
     "footer_agg_events": footer_agg_events,
     "rt_documents_forced_codecs": rt_documents_forced_codecs,
-    "rt_events_forced_float_codecs": rt_events_forced_float_codecs,
     "tpch_q5ish_region_revenue": tpch_q5ish_region_revenue,
     "tpch_q4ish_late_orders": tpch_q4ish_late_orders,
     "tpch_q14ish_promo_share": tpch_q14ish_promo_share,
@@ -2560,6 +2622,7 @@ ORACLES = {
     "rt_orders_dates": RT_ORDERS_DATES_SQL,
     "rt_events_struct_map": RT_EVENTS_STRUCT_MAP_SQL,
     "rt_documents_tokens": RT_DOCUMENTS_TOKENS_SQL,
+    "rt_documents_annotations": RT_DOCUMENTS_ANNOTATIONS_SQL,
     "footer_agg_events": FOOTER_AGG_SQL,
     "rt_documents_forced_codecs": RT_FORCED_CODECS_SQL,
     "rt_events_forced_float_codecs": RT_FORCED_FLOAT_SQL,
