@@ -365,21 +365,41 @@ def test_arrow_bridge_date_bool_decimal_and_list_nulls():
         assert back.to_pylist() == arr.to_pylist()
 
 
-def test_arrow_bridge_rejects_wide_decimal():
-    """decimal(p>18) must fail LOUDLY at the bridge boundary (the
-    unscaled value may not fit int64) — never wrap deep in a kernel."""
+def test_wide_decimal_two_limb_roundtrip():
+    """decimal(p>18) — unscaled values beyond int64 — encode as two
+    int64 limb streams (lo/hi) through the STRUCT container and
+    rebuild bit-exactly, including negatives, nulls, and magnitudes
+    past 2^64.  (Replaces the round-3 hard TypeError.)"""
     import decimal as D
 
     import pyarrow as pa
 
-    from varint_rvv_spark.operators.arrow_bridge import arrow_to_values
+    from varint_rvv_spark.operators.arrow_bridge import (
+        arrow_to_values,
+        values_sha256,
+        values_to_arrow,
+    )
 
-    with pytest.raises(TypeError, match="precision"):
-        arrow_to_values(pa.array([None], type=pa.decimal128(38, 2)))
-    with pytest.raises(TypeError, match="precision"):
-        arrow_to_values(pa.array(
-            [D.Decimal("12345678901234567890.123456")],
-            type=pa.decimal128(38, 6)))
+    vals = [D.Decimal("12345678901234567890.123456"),          # > 2^63
+            D.Decimal("-99999999999999999999999999999.999999"),
+            None,
+            D.Decimal("0.000001"),
+            D.Decimal("-0.000001")]
+    arr = pa.array(vals, type=pa.decimal128(38, 6))
+    v, dt, logical, validity = arrow_to_values(arr)
+    assert dt == B.DT_STRUCT and logical == "decimal2:38:6"
+    blob, _, _ = C.encode_auto(v, dt)
+    back_vals = B.decode_values(blob)
+    assert values_sha256(back_vals, dt) == values_sha256(v, dt)
+    back = values_to_arrow(back_vals, dt, logical, validity)
+    assert back.to_pylist() == arr.to_pylist()
+    # the hi-limb stream is sign-extension runs → tiny encoded size
+    n_big = 4000
+    big = pa.array([D.Decimal(10 ** 20 + i) for i in range(n_big)],
+                   type=pa.decimal128(38, 0))
+    bv, bdt, _, _ = arrow_to_values(big)
+    bblob, _, _ = C.encode_auto(bv, bdt)
+    assert len(bblob) < n_big * 8  # ≪ the 16 B/value raw decimal128
 
 
 def test_list_nested_and_logical_children_roundtrip():

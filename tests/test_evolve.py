@@ -92,3 +92,34 @@ def test_rename_unknown_source_raises(spark, chunks_v1):
     with pytest.raises(ValueError, match="match no stored column"):
         decode_table_evolved(chunks_v1, "username string",
                              renames={"usr": "username"})
+
+
+def test_stored_table_schema_names_nested_columns(spark):
+    """Round-4 self-describing nested logical tags: a store with
+    array<struct>, struct, and map columns is schema-inferable from
+    the footer alone — and the inferred schema decodes the store."""
+    from varint_rvv_spark.operators.decode import decode_table
+    from varint_rvv_spark.operators.encode import encode_chunks
+    from varint_rvv_spark.operators.evolve import stored_table_schema
+
+    df = spark.sql("""
+        SELECT id,
+               array(struct(CAST(1 AS INT) AS pos, 'a' AS tok)) AS anns,
+               named_struct('uid', id, 'val', CAST(id AS DOUBLE)) AS st,
+               map('k', CAST(id AS STRING)) AS props,
+               array(CAST(id AS DOUBLE)) AS emb
+        FROM range(50) """)
+    chunks = encode_chunks(df, key_cols=["id"], num_chunks=2).cache()
+    schema = stored_table_schema(
+        chunks, ["id", "anns", "st", "props", "emb"])
+    assert schema == ("id bigint, "
+                      "anns array<struct<pos:int,tok:string>>, "
+                      "st struct<uid:bigint,val:double>, "
+                      "props map<string,string>, "
+                      "emb array<double>")
+    dec = decode_table(chunks, ["id", "anns", "st", "props", "emb"],
+                       schema, contiguous=True)
+    got = dec.orderBy("id").limit(3).collect()
+    exp = df.orderBy("id").limit(3).collect()
+    assert [r.asDict(True) for r in got] == [r.asDict(True) for r in exp]
+    chunks.unpersist()

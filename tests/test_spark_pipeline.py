@@ -231,6 +231,27 @@ def test_narrow_int_roundtrip(spark):
     assert sorted(map(tuple, outc.collect())) == sorted(map(tuple, rows))
 
 
+def test_wide_decimal_roundtrip(spark):
+    """decimal(38,6) — beyond the int64 unscaled range — through the
+    two-limb bridge (round 4): exact values, exact schema, nulls."""
+    rows = [(1, "12345678901234567890.123456"),
+            (2, "-99999999999999999999999999999.999999"),
+            (3, None), (4, "0.000001")]
+    df = spark.createDataFrame(rows, "id long, d string") \
+        .selectExpr("id", "CAST(d AS DECIMAL(38,6)) AS d")
+    schema = "id long, d decimal(38,6)"
+    chunks = encode_chunks(df, key_cols=["id"], num_chunks=2)
+    out = decode_table(chunks, df.columns, schema)
+    assert out.schema == df.schema
+    assert sorted(map(tuple, out.collect())) == \
+        sorted(map(tuple, df.collect()))
+    # footer-inferred schema names it too (evolve round-trip)
+    from varint_rvv_spark.operators.evolve import stored_table_schema
+
+    assert stored_table_schema(chunks, ["id", "d"]) == \
+        "id bigint, d decimal(38,6)"
+
+
 def test_verify_chunks_mismatch_diagnostics(spark):
     """Forced corruption: hash mismatch surfaces concrete
     (index, expected, got) samples; truncation surfaces the decode

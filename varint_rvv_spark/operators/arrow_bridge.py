@@ -29,9 +29,14 @@ LT_PLAIN = "plain"
 LT_DATE32 = "date32"     # stored as int32 day numbers → delta/varint
 LT_BOOL = "bool"         # stored as uint8 0/1 → RLE/bitpack
 LT_DECIMAL = "decimal"   # "decimal:p:s", unscaled int64 (p ≤ 18)
-LT_LIST = "list"         # "list:<child arrow type name>"
-LT_STRUCT = "struct"     # children carry their own logical tags
-LT_MAP = "map"           # key/item streams carry their own tags
+LT_DECIMAL2 = "decimal2"  # "decimal2:p:s", p > 18: two int64 limb
+#                           streams (lo/hi words) via the STRUCT
+#                           container — hi is sign-extension runs for
+#                           p ≤ 37 magnitudes, so it RLEs to ~nothing
+LT_LIST = "list"         # "list:<spark child type, or arrow repr>"
+LT_STRUCT = "struct"     # "struct:<spark type>" when nameable;
+#                          children carry their own logical tags
+LT_MAP = "map"           # "map:<spark type>" when nameable
 
 _NARROW_PA = {"int8": pa.int8(), "int16": pa.int16(),
               "uint8": pa.uint8(), "uint16": pa.uint16()}
@@ -43,6 +48,44 @@ _LIST_CHILD_CODES = {
     pa.float32(): B.DT_F32, pa.float64(): B.DT_F64,
 }
 _LIST_CHILD_PA = {v: k for k, v in _LIST_CHILD_CODES.items()}
+
+
+_SIMPLE_SPARK = {
+    "int8": "tinyint", "int16": "smallint", "int32": "int",
+    "int64": "bigint", "float": "float", "double": "double",
+    "bool": "boolean", "date32[day]": "date",
+    "string": "string", "large_string": "string",
+    "binary": "binary", "large_binary": "binary",
+}
+
+
+def _spark_type_name(t: pa.DataType) -> str | None:
+    """Spark simpleString for an arrow type, or None when Spark has no
+    equivalent (unsigned ints).  Makes nested logical tags
+    self-describing so evolve.stored_table_schema can name
+    array<struct<...>> columns without an explicit schema."""
+    if pa.types.is_struct(t):
+        parts = []
+        for i in range(t.num_fields):
+            f = t.field(i)
+            cn = _spark_type_name(f.type)
+            if cn is None:
+                return None
+            parts.append(f"{f.name}:{cn}")
+        return "struct<" + ",".join(parts) + ">"
+    if pa.types.is_map(t):
+        k = _spark_type_name(t.key_type)
+        v = _spark_type_name(t.item_type)
+        return f"map<{k},{v}>" if k and v else None
+    if (pa.types.is_list(t) or pa.types.is_large_list(t)
+            or pa.types.is_fixed_size_list(t)):
+        c = _spark_type_name(t.value_type)
+        return f"array<{c}>" if c else None
+    if pa.types.is_timestamp(t):
+        return "timestamp" if t.tz else "timestamp_ntz"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    return _SIMPLE_SPARK.get(str(t))
 
 
 def _validity_of(arr: pa.Array) -> bytes:
@@ -64,7 +107,9 @@ def _struct_to_values(arr: pa.StructArray):
         children.append(B.ChildCol(values=v, dtype_code=dt,
                                    logical=logical, validity=cv))
     sv = B.StructValues(names=names, children=children, n=len(arr))
-    return sv, B.DT_STRUCT, LT_STRUCT, validity
+    sn = _spark_type_name(arr.type)
+    logical = f"{LT_STRUCT}:{sn}" if sn else LT_STRUCT
+    return sv, B.DT_STRUCT, logical, validity
 
 
 def _map_to_values(arr: pa.MapArray):
@@ -103,7 +148,9 @@ def _map_to_values(arr: pa.MapArray):
         offsets=offsets,
         keys=B.ChildCol(kv, kdt, klog, kval),
         items=B.ChildCol(iv, idt, ilog, ival))
-    return mv_, B.DT_MAP, LT_MAP, validity
+    sn = _spark_type_name(arr.type)
+    logical = f"{LT_MAP}:{sn}" if sn else LT_MAP
+    return mv_, B.DT_MAP, logical, validity
 
 
 def _list_to_values(arr: pa.Array) -> B.ListValues:
@@ -182,7 +229,10 @@ def arrow_to_values(arr: pa.Array):
     if (pa.types.is_list(t) or pa.types.is_large_list(t)
             or pa.types.is_fixed_size_list(t)):
         lv = _list_to_values(arr)
-        logical = f"{LT_LIST}:{t.value_type}"
+        sn = _spark_type_name(t.value_type)
+        # spark-style child name when nameable (self-describing for
+        # stored_table_schema); arrow repr otherwise (exact-match only)
+        logical = f"{LT_LIST}:{sn or t.value_type}"
         return lv, B.DT_LIST, logical, validity
     if pa.types.is_date32(t):
         # day numbers: sorted dates → 1-2 byte deltas through the
@@ -193,18 +243,26 @@ def arrow_to_values(arr: pa.Array):
         return (arr.cast(pa.uint8()).to_numpy(zero_copy_only=False),
                 B.DT_U8, LT_BOOL, validity)
     if pa.types.is_decimal(t):
-        if t.precision > 18:
-            raise TypeError(
-                f"decimal precision {t.precision} > 18: unscaled value "
-                f"may not fit int64")
-        # unscaled int64: the low word of the 128-bit little-endian
-        # storage (exact for p ≤ 18 since |unscaled| < 10^18 < 2^63)
         arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) \
             else arr
         buf = arr.buffers()[1]
         raw = np.frombuffer(buf, dtype="<i8",
                             count=(arr.offset + len(arr)) * 2)
         vals = raw[arr.offset * 2::2].copy()
+        if t.precision > 18:
+            # two-limb encoding: lo (bit pattern) + hi (signed high
+            # word) as independent int64 streams through the STRUCT
+            # container — bit-exact for the full decimal128 domain
+            hi = raw[arr.offset * 2 + 1::2].copy()
+            sv = B.StructValues(
+                names=["lo", "hi"],
+                children=[B.ChildCol(vals, B.DT_I64, LT_PLAIN, b""),
+                          B.ChildCol(hi, B.DT_I64, LT_PLAIN, b"")],
+                n=len(arr))
+            return (sv, B.DT_STRUCT,
+                    f"{LT_DECIMAL2}:{t.precision}:{t.scale}", validity)
+        # unscaled int64: the low word of the 128-bit little-endian
+        # storage (exact for p ≤ 18 since |unscaled| < 10^18 < 2^63)
         return vals, B.DT_I64, f"{LT_DECIMAL}:{t.precision}:{t.scale}", \
             validity
     if pa.types.is_integer(t) or pa.types.is_floating(t):
@@ -242,6 +300,26 @@ def _null_fill(t: pa.DataType):
 def values_to_arrow(values, dtype_code: int, logical: str,
                     validity: bytes) -> pa.Array:
     """Inverse of arrow_to_values (bit-identical reconstruction)."""
+    if logical.startswith(LT_DECIMAL2 + ":"):
+        # before the generic STRUCT dispatch: the lo/hi limb streams
+        # rebuild a decimal128, not a struct
+        _, p, s = logical.split(":")
+        lo = np.ascontiguousarray(values.children[0].values,
+                                  dtype="<i8")
+        hi = np.ascontiguousarray(values.children[1].values,
+                                  dtype="<i8")
+        words = np.empty(lo.shape[0] * 2, dtype="<i8")
+        words[0::2] = lo
+        words[1::2] = hi
+        arr = pa.Array.from_buffers(
+            pa.decimal128(int(p), int(s)), lo.shape[0],
+            [None, pa.py_buffer(words)])
+        if validity:
+            n = len(arr)
+            mask = _unpack_validity(validity, n)
+            arr = pa.compute.if_else(pa.array(mask), arr,
+                                     pa.nulls(n, arr.type))
+        return arr
     if dtype_code == B.DT_STRUCT:
         return _values_to_struct_arrow(values, validity)
     if dtype_code == B.DT_MAP:

@@ -60,7 +60,7 @@ def _stored_spark_type(dt: int, logical: str) -> str | None:
         return "boolean"
     if logical.startswith("narrow_int:"):
         return _NARROW_SPARK.get(logical.split(":", 1)[1])
-    if logical.startswith("decimal:"):
+    if logical.startswith("decimal:") or logical.startswith("decimal2:"):
         _, p, s = logical.split(":")
         return f"decimal({p},{s})"
     if logical != "plain":
@@ -121,10 +121,32 @@ _LIST_CHILD_SPARK = {"float": "float", "double": "double",
 
 
 def _nested_spark_type(logical: str) -> str | None:
-    if logical.startswith("list:"):
-        child = _LIST_CHILD_SPARK.get(logical.split(":", 1)[1])
-        return f"array<{child}>" if child else None
-    return None
+    """Spark type from a self-describing nested logical tag.
+
+    Round-4 tags carry the spark simpleString directly
+    ("list:struct<pos:int,tok:string>", "struct:struct<...>",
+    "map:map<string,string>"); legacy list tags carried the arrow
+    child-type name ("list:int64").  Anything unparseable stays None
+    (exact-match-only, caller raises with a clear message)."""
+    if ":" not in logical:
+        return None
+    kind, child = logical.split(":", 1)
+    if kind == "list":
+        legacy = _LIST_CHILD_SPARK.get(child)
+        if legacy:
+            return f"array<{legacy}>"
+        candidate = f"array<{child}>"
+    elif kind in ("struct", "map"):
+        candidate = child
+    else:
+        return None
+    from pyspark.sql.types import _parse_datatype_string
+
+    try:
+        _parse_datatype_string(candidate)
+    except Exception:
+        return None
+    return candidate
 
 
 def decode_table_evolved(chunks: DataFrame, target_schema: str,
