@@ -151,6 +151,15 @@ Reference single-core decode peak for comparison: 309-466 MiB/s
 (vecshift, /root/reference/README.md:101-104, RISC-V RVV hardware);
 our decode pass at local[{n_high}] = {hi['decode_gbps']} GB/s
 aggregate over the full codec family including zstd text columns.
+
+## Skew (salted vs raw host clustering)
+
+BENCH/SKEW.md (bench/skew_bench.py, 120k pages, host0 ~30% of rows):
+clustering the encode by raw host gives a 97x max/median chunk-byte
+straggler; the salted host key (8 host-pure sub-buckets,
+plans/partitioning.salted_host_key) bounds it to 8.0x and cuts encode
+wall-clock 1.92x on this host.  At 100 TB the unsalted plan's
+critical path is the biggest host, not the cluster width.
 """)
     print(f"wrote {md}")
 
