@@ -903,7 +903,8 @@ def rt_embeddings_roundtrip(spark, sf_dir):
                         F.lit(0.0), lambda a, x: a + x)
     return (d.groupBy("label")
             .agg(F.count("*").alias("n_vecs"),
-                 F.max(F.size("embedding")).alias("dim"),
+                 # long: DuckDB len() is BIGINT — keep dtypes aligned
+                 F.max(F.size("embedding")).cast("long").alias("dim"),
                  F.round(F.avg(norm2), 4).alias("avg_norm2"),
                  F.round(F.sum(F.element_at("embedding", 1)), 4)
                  .alias("sum_first"),
@@ -977,7 +978,8 @@ def rt_documents_tokens(spark, sf_dir):
     return (dec.groupBy("lang")
             .agg(F.count("*").alias("n_docs"),
                  F.sum(n_toks).alias("sum_tokens"),
-                 F.max(n_toks).alias("max_tokens"),
+                 # long: the SQL twin's MAX(len(...)) is BIGINT
+                 F.max(n_toks).cast("long").alias("max_tokens"),
                  F.sum(first_tok_h).alias("sum_first_tok_hash")))
 
 
