@@ -1,0 +1,88 @@
+"""Sequence packing / two-level ordered cumsum (operators/pack.py)."""
+
+import pytest
+from pyspark.sql import Window, functions as F
+
+from varint_rvv_spark.operators.pack import ordered_cumsum, pack_sequences
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+def _reference_cumsum(df, order_col, value_col):
+    """The naive single-partition global window — the semantics twin."""
+    w = (Window.orderBy(order_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return df.withColumn("ref", F.sum(value_col).over(w))
+
+
+def test_ordered_cumsum_matches_global_window(spark):
+    df = spark.createDataFrame(
+        [(i * 7 % 997, (i * 13) % 50 + 1) for i in range(400)],
+        "id long, v long")
+    got = ordered_cumsum(df, "id", "v", out_col="cum", buckets=16)
+    ref = _reference_cumsum(df, "id", "v")
+    joined = got.join(ref.select("id", "ref"), "id")
+    assert joined.filter(F.col("cum") != F.col("ref")).count() == 0
+    assert got.count() == 400
+
+
+def test_ordered_cumsum_sparse_and_tiny(spark):
+    # huge id gaps (sparse buckets) and fewer rows than buckets
+    df = spark.createDataFrame(
+        [(1, 5), (10**9, 7), (10**12, 11), (10**15, 13)], "id long, v long")
+    rows = {r.id: r.cum for r in
+            ordered_cumsum(df, "id", "v", buckets=1024).collect()}
+    assert rows == {1: 5, 10**9: 12, 10**12: 23, 10**15: 36}
+    one = spark.createDataFrame([(42, 9)], "id long, v long")
+    assert ordered_cumsum(one, "id", "v").collect()[0].cum == 9
+
+
+def test_pack_sequences_semantics(spark):
+    # 3 docs of 300 tokens, max 512: doc0 -> seq0 (start 0),
+    # doc1 -> seq0 (start 300), doc2 -> seq1 (start 600)
+    df = spark.createDataFrame(
+        [(0, 300), (1, 300), (2, 300)], "doc_id long, toks long")
+    got = {r.doc_id: (r.token_start, r.token_end, r.seq_id)
+           for r in pack_sequences(df, "doc_id", "toks", 512).collect()}
+    assert got == {0: (0, 300, 0), 1: (300, 600, 0), 2: (600, 900, 1)}
+    with pytest.raises(ValueError, match="max_tokens"):
+        pack_sequences(df, "doc_id", "toks", 0)
+
+
+def test_pack_sequences_documents_conservation(spark):
+    """Over the real documents table: every token lands in exactly one
+    sequence, and every interior sequence starts on a 512 boundary's
+    containing document."""
+    df = spark.read.parquet(DOCS).select(
+        "doc_id",
+        F.when(F.length(F.trim("text")) == 0, F.lit(0))
+        .otherwise(F.size(F.split(F.trim("text"), r"\s+")))
+        .cast("long").alias("toks"))
+    p = pack_sequences(df, "doc_id", "toks", 512).cache()
+    total = df.agg(F.sum("toks")).collect()[0][0]
+    assert p.agg(F.sum("toks")).collect()[0][0] == total
+    # spans tile the stream: max end == total, starts = shifted ends
+    assert p.agg(F.max("token_end")).collect()[0][0] == total
+    bad = (p.alias("a").join(
+        p.alias("b"), F.col("a.token_end") == F.col("b.token_start"))
+        .count())
+    assert bad == p.count() - 1  # every end meets the next start
+    # seq assignment is the chunk of the first token
+    assert p.filter(F.col("seq_id")
+                    != F.expr("token_start div 512")).count() == 0
+    p.unpersist()
+
+
+def test_ordered_cumsum_plan_has_no_global_data_window(spark):
+    """The scale contract: the data-row window is partitioned by
+    bucket; only the <=buckets aggregated rows see an ordered
+    single-partition window."""
+    df = spark.read.parquet(DOCS).select(
+        "doc_id", F.length("text").cast("long").alias("v"))
+    out = ordered_cumsum(df, "doc_id", "v")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    data_windows = [ln for ln in plan.split("\n")
+                    if "Window [" in ln and "doc_id#" in ln]
+    assert data_windows, "expected a doc-level window"
+    for ln in data_windows:
+        assert "_bkt" in ln, f"data window not partitioned: {ln}"

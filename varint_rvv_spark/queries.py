@@ -1054,6 +1054,52 @@ GROUP BY pos ORDER BY pos
 """
 
 
+def pack_sequences_documents(spark, sf_dir):
+    """GPT-style sequence packing (operators/pack.py): concatenate
+    the corpus token stream in doc_id order and split every 512
+    tokens; each document lands in the sequence holding its first
+    token.  The running token count uses the two-level bucketed
+    cumsum — no single-partition pass over document rows — and the
+    oracle is the literal single-window SQL, proving the factoring
+    exact."""
+    from .functions import tokens
+    from .operators.pack import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    n_toks = F.when(F.length(F.trim("text")) == 0, F.lit(0)) \
+        .otherwise(F.size(tokens("text"))).cast("long")
+    df = d.select("doc_id", n_toks.alias("toks"))
+    p = pack_sequences(df, "doc_id", "toks", 512)
+    return (p.groupBy("seq_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("toks").alias("seq_tokens"),
+                 F.min("doc_id").alias("first_doc"),
+                 F.max("doc_id").alias("last_doc"))
+            .orderBy("seq_id"))
+
+
+PACK_SEQUENCES_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END
+           AS toks
+  FROM documents),
+c AS (
+  SELECT doc_id, toks,
+         SUM(toks) OVER (ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t),
+s AS (SELECT doc_id, toks,
+             CAST((cum - toks) // 512 AS BIGINT) AS seq_id
+      FROM c)
+SELECT seq_id, COUNT(*) AS n_docs,
+       CAST(SUM(toks) AS BIGINT) AS seq_tokens,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM s GROUP BY seq_id ORDER BY seq_id
+"""
+
+
 def rt_events_struct_map(spark, sf_dir):
     """STRUCT + MAP column round-trip: derive a struct<uid,val> and a
     map<string,string> (parsed from the JSON props) from events, push
@@ -2501,6 +2547,7 @@ QUERIES = {
     "rt_events_forced_float_codecs": rt_events_forced_float_codecs,
     # -- new or changed in round 4 -----------------------------------
     "rt_documents_annotations": rt_documents_annotations,
+    "pack_sequences_documents": pack_sequences_documents,
     "footer_range_agg_events": footer_range_agg_events,
     "scan_encoded_clicks_window": scan_encoded_clicks_window,
     # -- flagship per-family rows ------------------------------------
@@ -2535,8 +2582,8 @@ QUERIES = {
     "rt_events_pruned": rt_events_pruned,
     "rt_events_zorder_pruned": rt_events_zorder_pruned,
     "rt_documents_point_lookup": rt_documents_point_lookup,
-    "rt_documents_source_pruned": rt_documents_source_pruned,
     # ---- driver window ends at 50 entries (here) -------------------
+    "rt_documents_source_pruned": rt_documents_source_pruned,
     "codec_footer_documents": codec_footer_documents,
     "sample_documents_deterministic": sample_documents_deterministic,
     "pipeline_clean_corpus": pipeline_clean_corpus,
@@ -2625,6 +2672,7 @@ ORACLES = {
     "rt_events_struct_map": RT_EVENTS_STRUCT_MAP_SQL,
     "rt_documents_tokens": RT_DOCUMENTS_TOKENS_SQL,
     "rt_documents_annotations": RT_DOCUMENTS_ANNOTATIONS_SQL,
+    "pack_sequences_documents": PACK_SEQUENCES_SQL,
     "footer_agg_events": FOOTER_AGG_SQL,
     "rt_documents_forced_codecs": RT_FORCED_CODECS_SQL,
     "rt_events_forced_float_codecs": RT_FORCED_FLOAT_SQL,
