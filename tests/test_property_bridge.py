@@ -107,3 +107,73 @@ def test_bool_and_date_columns_roundtrip(bs, ds):
     for xs, t in ((bs, pa.bool_()), (ds, pa.date32())):
         arr = pa.array(xs, type=t)
         assert_same(arr, roundtrip(arr))
+
+
+ann_structs = st.lists(
+    st.one_of(
+        st.none(),
+        st.lists(st.fixed_dictionaries({
+            "pos": st.one_of(st.none(),
+                             st.integers(-(2**31), 2**31 - 1)),
+            "tok": st.one_of(st.none(), st.text(max_size=12)),
+        }), max_size=6)),
+    max_size=60)
+
+
+@settings(max_examples=40, deadline=None)
+@given(ann_structs)
+def test_any_list_of_struct_column_roundtrips(xs):
+    """Round-4 nested LIST children: list<struct<int,string>> with
+    null rows, empty lists, and null struct fields."""
+    t = pa.list_(pa.struct([("pos", pa.int32()), ("tok", pa.string())]))
+    arr = pa.array(xs, type=t)
+    got = roundtrip(arr)
+    assert got.cast(arr.type).equals(arr), (xs,)
+
+
+nested_int_lists = st.lists(
+    st.one_of(
+        st.none(),
+        st.lists(st.lists(st.integers(-(2**40), 2**40),
+                          max_size=5),
+                 max_size=5)),
+    max_size=50)
+
+
+@settings(max_examples=40, deadline=None)
+@given(nested_int_lists)
+def test_any_list_of_list_column_roundtrips(xs):
+    arr = pa.array(xs, type=pa.list_(pa.list_(pa.int64())))
+    got = roundtrip(arr)
+    assert got.cast(arr.type).equals(arr), (xs,)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.one_of(st.none(),
+                          st.lists(st.one_of(st.none(),
+                                             st.integers(-(2**50),
+                                                         2**50)),
+                                   max_size=8)),
+                max_size=60))
+def test_any_int_list_with_element_nulls_roundtrips(xs):
+    """Element-level nulls in numeric list children (lifted r3 error)."""
+    arr = pa.array(xs, type=pa.list_(pa.int64()))
+    got = roundtrip(arr)
+    assert got.cast(arr.type).equals(arr), (xs,)
+
+
+wide_decimals = st.lists(
+    st.one_of(st.none(),
+              st.decimals(min_value=-(10**31), max_value=10**31,
+                          places=6, allow_nan=False,
+                          allow_infinity=False)),
+    max_size=80)
+
+
+@settings(max_examples=40, deadline=None)
+@given(wide_decimals)
+def test_any_wide_decimal_column_roundtrips(xs):
+    """Round-4 two-limb decimal(38,6): full-domain magnitudes."""
+    arr = pa.array(xs, type=pa.decimal128(38, 6))
+    got = roundtrip(arr)
+    assert got.equals(arr), (xs,)
