@@ -91,8 +91,12 @@ def bench_pages(spark) -> dict:
     # min-of-R timed passes: this host has noisy-neighbor variance,
     # best-of reflects the engine rather than the neighbors
     # 3 reps: round-2's apparent encode regression (2.32 s vs 1.58 s)
-    # was pure host noise — a solo min-of-3 run measured 0.883 s
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    # was pure host noise — a solo min-of-3 run measured 0.883 s.
+    # The pages passes get 5 by default: they are the headline
+    # GB/s numbers and still drifted ±50% across JVMs at R=3
+    reps = int(os.environ.get(
+        "SPARK_GRAFT_PAGES_REPS",
+        os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
     t_encode = float("inf")
     chunks = None
     for _ in range(reps):
