@@ -155,7 +155,10 @@ def main() -> None:
         lambda d: d.filter(F.col("ts_us").between(t_lo, t_hi)
                            & (F.col("text_len") >= len_lo)))
 
-    # 4. footer-only percentile vs decode + percentile_approx
+    # 4. footer-only percentile vs decode + percentile_approx —
+    # small store (events, ~0.6M rows) and a 40M-row numeric store:
+    # the footer path is constant in store size, the decode path is
+    # O(rows), so the big store shows the crossover
     ch4 = materialize(encode_chunks(
         spark.read.parquet(f"{SF_DIR}/events.parquet"),
         key_cols=["event_id"], num_chunks=64), "ch4")
@@ -163,6 +166,18 @@ def main() -> None:
         ch4, "value", [0.5, 0.9]).collect())
     t_decode = timed(lambda: decode_table(
         ch4, ["value"], "value double", contiguous=False)
+        .agg(F.percentile_approx("value", [0.5, 0.9])).collect())
+
+    N_BIG = 40_000_000
+    big = (spark.range(N_BIG)
+           .withColumn("value", ((F.col("id") * 2654435761)
+                                 % 1_000_003).cast("double")))
+    ch5 = materialize(encode_chunks(big, key_cols=["id"],
+                                    num_chunks=2048), "ch5")
+    t_footer_big = timed(lambda: footer_percentile(
+        ch5, "value", [0.5, 0.9]).collect())
+    t_decode_big = timed(lambda: decode_table(
+        ch5, ["value"], "value double", contiguous=False)
         .agg(F.percentile_approx("value", [0.5, 0.9])).collect())
 
     lines = [
@@ -184,16 +199,23 @@ def main() -> None:
                      f" {total / max(kept, 1):.0f}x |")
     lines += [
         "",
-        f"Footer-only percentile (p50/p90 of events.value): "
-        f"**{t_footer:.3f} s** vs decode+percentile_approx "
-        f"{t_decode:.3f} s ({t_decode / t_footer:.1f}x) — touching "
-        f"zero payload bytes.  The footer path's wall here is almost "
-        f"entirely the fixed stage-turnaround cost of its two-level "
-        f"merge plan (round 4's scale fix: no single-partition "
-        f"exchange of sample rows), which is CONSTANT in store size; "
-        f"the decode path is O(data).  On this toy store the decode "
-        f"side wins wall-clock; the crossover is a few GB of column "
-        f"payload, far below any production store.",
+        f"Footer-only percentile (p50/p90) vs decode + "
+        f"percentile_approx:",
+        "",
+        "| store | footer-only s | decode path s | speedup |",
+        "|---|---|---|---|",
+        f"| events, ~0.6M rows | {t_footer:.3f} | {t_decode:.3f} "
+        f"| {t_decode / t_footer:.1f}x |",
+        f"| synthetic numeric, 40M rows / 2048 chunks "
+        f"| {t_footer_big:.3f} | {t_decode_big:.3f} "
+        f"| {t_decode_big / t_footer_big:.1f}x |",
+        "",
+        "The footer path costs one materialized metadata pass "
+        "(O(chunks) footer rows — localCheckpoint barrier, round 4) "
+        "plus a fixed multi-stage plan overhead, while the decode "
+        "path is O(rows); the row/chunk ratio (~20k here, ~64 MB of "
+        "payload per footer row in production) sets how fast the "
+        "decode side falls behind as the store grows.",
         "",
         "Selective prunes are re-pushed as a `chunk_id IN (...)` scan "
         "filter (decode.push_chunk_filter), so parquet row-group "

@@ -61,6 +61,14 @@ def footer_percentile(chunks: DataFrame, column: str,
                .select(F.explode("qsamp").alias("v"),
                        (F.col("n_values") / F.size("qsamp"))
                        .alias("w")))
+    # materialize the pooled sample ONCE: the plan branches into
+    # bounds/buckets/candidates, and without a barrier each branch
+    # re-scans the footer store and re-parses stats_json (~4x the
+    # whole metadata pass — measured 3.2 s vs 1.4 s on a 2048-chunk
+    # store).  localCheckpoint bounds the storage at the pooled
+    # sample itself (16 B/row; ~800 MB cluster-wide even at 100 TB /
+    # 1.6M chunks) and the ContextCleaner frees it with the frame.
+    samples = samples.localCheckpoint(eager=True)
     if samples.isEmpty():
         raise ValueError(
             f"footer_percentile: no footer samples for column "

@@ -33,7 +33,12 @@ def ordered_cumsum(df: DataFrame, order_col: str, value_col: str,
 
     `order_col` must be numeric with distinct values (ties would make
     the running sum order-dependent); equal-width bucketing only needs
-    a monotone row→bucket map, so any value distribution works.
+    a monotone row→bucket map, so any value distribution stays
+    CORRECT.  Balance does depend on the distribution: a pathological
+    order column whose values cluster in a sliver of their range
+    collapses most rows into one bucket (one big window partition) —
+    use a near-uniform order column (dense ids, row numbers) or
+    rescale first.
     """
     bounds = df.agg(F.min(order_col).alias("_gmin"),
                     F.max(order_col).alias("_gmax"))
