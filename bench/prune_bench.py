@@ -49,8 +49,8 @@ def main() -> None:
 
     from varint_rvv_spark.operators.decode import (
         decode_table,
-        prune_chunks,
         prune_chunks_eq,
+        prune_chunks_multi,
         push_chunk_filter,
     )
     from varint_rvv_spark.operators.encode import (
@@ -81,8 +81,14 @@ def main() -> None:
         # bench params and reused across runs (the encode side is
         # excluded from timing anyway).
         if not Path(f"{out}/_SUCCESS").exists():
+            # 16 MB row groups (write_encoded's default): chunk_id IN
+            # pruning skips at row-group granularity, and the default
+            # 128 MB blocks pack ~100 chunks per group on few-partition
+            # range/zorder stores — a 7-chunk read then drags in whole
+            # groups (measured 2.3 s vs 0.6 s)
             chunks.sortWithinPartitions("chunk_id") \
-                .write.mode("overwrite").parquet(out)
+                .write.option("parquet.block.size", str(16 << 20)) \
+                .mode("overwrite").parquet(out)
         return spark.read.parquet(out)
 
     def n_chunks(ch):
@@ -147,8 +153,10 @@ def main() -> None:
     t_lo = int(mm[0])
     t_hi = int(mm[0] + (mm[1] - mm[0]) * 0.1)  # first 10% of the crawl
     len_lo = int(mm[2])                        # longest-decile docs
-    pr3 = prune_chunks(prune_chunks(ch3, "ts_us", t_lo, t_hi),
-                       "text_len", len_lo, None)
+    # one footer pass for both box predicates (the scan_encoded path)
+    # instead of two chained prune_chunks metadata rounds
+    pr3 = prune_chunks_multi(ch3, ranges={"ts_us": (t_lo, t_hi),
+                                          "text_len": (len_lo, None)})
     add("z-order 2-D box (first 10% of crawl x longest decile), bodies",
         ch3, pr3, pz.columns,
         "url string, ts_us long, text_len int, html binary, text string",

@@ -31,15 +31,28 @@ def _use_iceberg(spark: SparkSession, catalog_table: str | None) -> bool:
 
 def write_encoded(chunks: DataFrame, root: str,
                   catalog_table: str | None = None,
-                  mode: str = "append") -> None:
-    """Persist chunks + footer (Iceberg when configured, else parquet)."""
+                  mode: str = "append",
+                  rowgroup_bytes: int = 16 << 20) -> None:
+    """Persist chunks + footer (Iceberg when configured, else parquet).
+
+    `rowgroup_bytes` caps the chunks table's parquet row-group size
+    (default 16 MB vs parquet's 128 MB): the pruned read path pushes
+    a `chunk_id IN (...)` scan filter, and parquet skips at ROW-GROUP
+    granularity — with default blocks a range/zorder store written
+    from few partitions packs ~100 chunks per row group, so a
+    7-chunk point read drags in whole 128 MB row groups (measured
+    2.3 s vs 0.6 s on an equivalent store with chunk-sized groups;
+    BENCH/PRUNING.md).  Row groups a small multiple of the chunk
+    payload keep skipped chunks actually unread."""
     spark = chunks.sparkSession
     footer = footer_of(chunks)
     if _use_iceberg(spark, catalog_table):  # pragma: no cover - no jars here
         chunks.writeTo(f"{catalog_table}_chunks").append()
         footer.writeTo(f"{catalog_table}_footer").append()
         return
-    (chunks.write.mode(mode).partitionBy("column")
+    (chunks.write.mode(mode)
+     .option("parquet.block.size", str(int(rowgroup_bytes)))
+     .partitionBy("column")
      .parquet(f"{root}/chunks"))
     footer.write.mode(mode).parquet(f"{root}/footer")
 
