@@ -402,6 +402,37 @@ def test_wide_decimal_two_limb_roundtrip():
     assert len(bblob) < n_big * 8  # ≪ the 16 B/value raw decimal128
 
 
+def test_wide_decimal_inside_struct_and_list_children():
+    """decimal(38,s) as a NESTED child: struct<amount:decimal> and
+    list<decimal> route the two-limb encoding through the recursive
+    child framing and rebuild the exact decimal type."""
+    import decimal as D
+
+    import pyarrow as pa
+
+    from varint_rvv_spark.operators.arrow_bridge import (
+        arrow_to_values,
+        values_sha256,
+        values_to_arrow,
+    )
+
+    cases = [
+        pa.array([{"id": 1, "amount": D.Decimal("1" * 20 + ".5")},
+                  {"id": 2, "amount": None}, None],
+                 type=pa.struct([("id", pa.int64()),
+                                 ("amount", pa.decimal128(38, 1))])),
+        pa.array([[D.Decimal(10**25), None], None, []],
+                 type=pa.list_(pa.decimal128(38, 0))),
+    ]
+    for arr in cases:
+        v, dt, logical, validity = arrow_to_values(arr)
+        blob, _, _ = C.encode_auto(v, dt)
+        back_vals = B.decode_values(blob)
+        assert values_sha256(back_vals, dt) == values_sha256(v, dt)
+        back = values_to_arrow(back_vals, dt, logical, validity)
+        assert back.to_pylist() == arr.to_pylist(), arr.type
+
+
 def test_list_nested_and_logical_children_roundtrip():
     """list<struct>/list<list>/list<timestamp>/element-null children
     route through the tagged-child framing (codecs/lists.py) and
