@@ -168,6 +168,25 @@ def test_footer_range_agg_null_range_rows_demoted(spark):
     chunks.unpersist()
 
 
+def test_footer_range_agg_unit_mismatched_logicals_raise(spark):
+    """decimal/bool/date columns store footer stats in STORED units
+    (unscaled ints, 0/1, day numbers) while lo/hi and the decode-path
+    residual use decoded values — the operator must refuse, not
+    silently mix units."""
+    from varint_rvv_spark.operators.encode import encode_chunks
+    from varint_rvv_spark.operators.footer_stats import footer_range_agg
+
+    df = spark.createDataFrame([(i, str(i)) for i in range(40)],
+                               "id long, p string") \
+        .selectExpr("id", "CAST(p AS DECIMAL(9,2)) AS price")
+    chunks = encode_chunks(df, key_cols=["id"], num_chunks=2).cache()
+    with pytest.raises(ValueError, match="predicate units"):
+        footer_range_agg(chunks, "id", "price", 1, 20)
+    with pytest.raises(ValueError, match="decoded-value units"):
+        footer_range_agg(chunks, "price", "id", 1, 20)
+    chunks.unpersist()
+
+
 def test_footer_range_agg_partial_coverage_raises(spark):
     """A store where the range or value column lacks footer rows for
     some chunks (schema evolution) must raise, not silently drop the

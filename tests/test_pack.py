@@ -61,16 +61,32 @@ def test_pack_sequences_documents_conservation(spark):
     p = pack_sequences(df, "doc_id", "toks", 512).cache()
     total = df.agg(F.sum("toks")).collect()[0][0]
     assert p.agg(F.sum("toks")).collect()[0][0] == total
-    # spans tile the stream: max end == total, starts = shifted ends
+    # spans tile the stream: max end == total, and in doc order each
+    # start equals the previous end (duplicate-safe — zero-token docs
+    # produce repeated boundary values, which a join-count would
+    # miscount)
     assert p.agg(F.max("token_end")).collect()[0][0] == total
-    bad = (p.alias("a").join(
-        p.alias("b"), F.col("a.token_end") == F.col("b.token_start"))
-        .count())
-    assert bad == p.count() - 1  # every end meets the next start
+    rows = p.orderBy("doc_id").select("token_start",
+                                      "token_end").collect()
+    starts = [r.token_start for r in rows]
+    ends = [r.token_end for r in rows]
+    assert starts == [0] + ends[:-1]
     # seq assignment is the chunk of the first token
     assert p.filter(F.col("seq_id")
                     != F.expr("token_start div 512")).count() == 0
     p.unpersist()
+
+
+def test_ordered_cumsum_null_order_raises(spark):
+    """A NULL order value has no position — it must raise loudly, not
+    silently drop the row (the NULL bucket never matches the prefix
+    equi-join while its value still shifts other buckets)."""
+    df = spark.createDataFrame([(1, 5), (None, 7), (3, 11)],
+                               "id long, v long")
+    # surfaces as USER_RAISED_EXCEPTION, wrapped differently by
+    # executor vs driver evaluation — match the message, not the class
+    with pytest.raises(Exception, match="NULL in order"):
+        ordered_cumsum(df, "id", "v").collect()
 
 
 def test_ordered_cumsum_plan_has_no_global_data_window(spark):

@@ -304,16 +304,8 @@ def values_to_arrow(values, dtype_code: int, logical: str,
         # before the generic STRUCT dispatch: the lo/hi limb streams
         # rebuild a decimal128, not a struct
         _, p, s = logical.split(":")
-        lo = np.ascontiguousarray(values.children[0].values,
-                                  dtype="<i8")
-        hi = np.ascontiguousarray(values.children[1].values,
-                                  dtype="<i8")
-        words = np.empty(lo.shape[0] * 2, dtype="<i8")
-        words[0::2] = lo
-        words[1::2] = hi
-        arr = pa.Array.from_buffers(
-            pa.decimal128(int(p), int(s)), lo.shape[0],
-            [None, pa.py_buffer(words)])
+        arr = _int64_to_decimal(values.children[0].values, int(p),
+                                int(s), hi=values.children[1].values)
         if validity:
             n = len(arr)
             mask = _unpack_validity(validity, n)
@@ -445,14 +437,17 @@ def _values_to_map_arrow(mv_: "B.MapValues", validity: bytes) -> pa.Array:
     return pa.MapArray.from_arrays(off_arr, keys, items)
 
 
-def _int64_to_decimal(values: np.ndarray, precision: int,
-                      scale: int) -> pa.Array:
-    """Unscaled int64 → decimal128(p, s), bit-exact (two's-complement
-    sign extension into the high 64-bit word)."""
+def _int64_to_decimal(values: np.ndarray, precision: int, scale: int,
+                      hi: np.ndarray | None = None) -> pa.Array:
+    """int64 limb(s) → decimal128(p, s), bit-exact.  With `hi` None
+    (p ≤ 18 path) the high word is two's-complement sign extension of
+    the unscaled lo word; the decimal2 path passes its stored hi-limb
+    stream."""
     lo = np.ascontiguousarray(values, dtype="<i8")
     words = np.empty(lo.shape[0] * 2, dtype="<i8")
     words[0::2] = lo
-    words[1::2] = lo >> 63  # arithmetic shift = sign extension
+    words[1::2] = (lo >> 63 if hi is None  # arith shift = sign ext
+                   else np.ascontiguousarray(hi, dtype="<i8"))
     return pa.Array.from_buffers(
         pa.decimal128(precision, scale), lo.shape[0],
         [None, pa.py_buffer(words)])

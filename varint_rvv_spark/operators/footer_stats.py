@@ -74,18 +74,12 @@ def footer_percentile(chunks: DataFrame, column: str,
             f"footer_percentile: no footer samples for column "
             f"{column!r} (wrong name, varlen column, or non-finite "
             f"chunks) — decode and use percentile_approx instead")
-    # level 1: equal-width bucket ids from the global span (one tiny
-    # broadcast row — stays in-plan, no driver action)
-    bounds = samples.agg(F.min("v").alias("gmin"),
-                         F.max("v").alias("gmax"))
-    span = F.col("gmax") - F.col("gmin")
-    s = (samples.crossJoin(F.broadcast(bounds))
-         .withColumn(
-             "bucket",
-             F.when(span <= 0, F.lit(0)).otherwise(
-                 F.least(F.floor((F.col("v") - F.col("gmin")) / span
-                                 * _N_BUCKETS).cast("int"),
-                         F.lit(_N_BUCKETS - 1)))))
+    # level 1: order-preserving span buckets (shared scaffold —
+    # pack.bucket_by_span; samples are never NULL: qsample only
+    # exists for finite, no-null chunks)
+    from .pack import bucket_by_span
+
+    s = bucket_by_span(samples, "v", _N_BUCKETS, out_col="bucket")
     buckets = s.groupBy("bucket").agg(F.sum("w").alias("bw"),
                                       F.max("v").alias("bvmax"))
     # cumulative rank over ≤1024 aggregated rows (the only
@@ -165,7 +159,11 @@ def footer_range_agg(chunks: DataFrame, value_col: str,
       the footer path would count rows SQL excludes) decode instead;
     * every chunk must have a footer row for both columns — a store
       where either column was added later via schema evolution raises
-      rather than silently dropping the uncovered chunks.
+      rather than silently dropping the uncovered chunks;
+    * logical types whose footer stats are not in predicate /
+      decoded-value units (decimal unscaled ints, bool 0/1, date day
+      numbers) raise instead of silently mixing units; u64 stats
+      compare as DECIMAL(20,0) (an ANSI cast to long would overflow).
 
     `contiguous` follows decode_table's default (False): chunks read
     back from a parquet store lose chunk adjacency across file splits;
@@ -181,21 +179,26 @@ def footer_range_agg(chunks: DataFrame, value_col: str,
     from .evolve import _stored_spark_type
 
     rc = chunks.filter(F.col("column") == range_col)
-    head = rc.select("dtype_code", "logical_type").head()
-    if head is None:
-        raise ValueError(f"footer_range_agg: no footer rows for "
-                         f"range column {range_col!r}")
-    vh = chunks.filter(F.col("column") == value_col) \
-        .select("dtype_code", "logical_type").head()
-    if vh is None:
-        raise ValueError(f"footer_range_agg: no footer rows for "
-                         f"value column {value_col!r}")
+    # ONE driver action for dtype/logical probes + footer coverage
+    # (three separate metadata jobs tripled this operator's fixed
+    # latency)
+    is_r = F.col("column") == range_col
+    is_v = F.col("column") == value_col
     cov = chunks.agg(
         F.countDistinct("chunk_id").alias("all_ids"),
-        F.countDistinct(F.when(F.col("column") == range_col,
-                               F.col("chunk_id"))).alias("r_ids"),
-        F.countDistinct(F.when(F.col("column") == value_col,
-                               F.col("chunk_id"))).alias("v_ids")).head()
+        F.countDistinct(F.when(is_r, F.col("chunk_id"))).alias("r_ids"),
+        F.countDistinct(F.when(is_v, F.col("chunk_id"))).alias("v_ids"),
+        F.first(F.when(is_r, F.col("dtype_code")), True).alias("r_dt"),
+        F.first(F.when(is_r, F.col("logical_type")), True).alias("r_lt"),
+        F.first(F.when(is_v, F.col("dtype_code")), True).alias("v_dt"),
+        F.first(F.when(is_v, F.col("logical_type")), True).alias("v_lt"),
+    ).head()
+    if cov.r_dt is None:
+        raise ValueError(f"footer_range_agg: no footer rows for "
+                         f"range column {range_col!r}")
+    if cov.v_dt is None:
+        raise ValueError(f"footer_range_agg: no footer rows for "
+                         f"value column {value_col!r}")
     if cov.r_ids != cov.all_ids or cov.v_ids != cov.all_ids:
         raise ValueError(
             f"footer_range_agg: footer rows for "
@@ -204,8 +207,41 @@ def footer_range_agg(chunks: DataFrame, value_col: str,
             f"partially-covered store (schema evolution?) would "
             f"silently drop the uncovered chunks' rows; decode and "
             f"aggregate instead")
-    np_dt = B.NUMERIC_NP.get(int(head.dtype_code))
-    if np_dt is not None and np_dt.kind in "iu":
+    # logical-type units guard: footer vmin/vmax/vsum are in STORED
+    # units (decimal → unscaled ints, bool → 0/1, date → day numbers)
+    # while lo/hi and the decode-path residual compare DECODED values —
+    # mixing them is a silent wrong answer, so only unit-preserving
+    # logicals pass.  Timestamps are fine on the range side (stored µs,
+    # and the residual compares in epoch-µs too); narrow ints store
+    # their true values.
+    def _units_ok(lt: str, allow_ts: bool) -> bool:
+        return (lt == "plain" or lt.startswith("narrow_int:")
+                or (allow_ts and (lt == "timestamp_us"
+                                  or lt.startswith("timestamp_us:"))))
+
+    if not _units_ok(cov.r_lt, allow_ts=True):
+        raise ValueError(
+            f"footer_range_agg: range column {range_col!r} stores "
+            f"logical type {cov.r_lt!r}, whose footer stats are not "
+            f"in predicate units — decode and filter instead")
+    if not _units_ok(cov.v_lt, allow_ts=False):
+        raise ValueError(
+            f"footer_range_agg: value column {value_col!r} stores "
+            f"logical type {cov.v_lt!r}, whose footer vsum is not in "
+            f"decoded-value units — decode and aggregate instead")
+    np_dt = B.NUMERIC_NP.get(int(cov.r_dt))
+    if np_dt is not None and np_dt.kind == "u":
+        # u64 stats may exceed long; DECIMAL(20,0) covers the full
+        # uint64 domain exactly (an ANSI CAST to LONG would raise)
+        vmin = F.get_json_object("stats_json", "$.vmin") \
+            .cast("decimal(20,0)")
+        vmax = F.get_json_object("stats_json", "$.vmax") \
+            .cast("decimal(20,0)")
+        # string literals: a python int past 2^63-1 has no Spark
+        # literal type, but CAST('...' AS DECIMAL(20,0)) is exact
+        lo_b = F.lit(str(int(math.ceil(lo)))).cast("decimal(20,0)")
+        hi_b = F.lit(str(int(math.floor(hi)))).cast("decimal(20,0)")
+    elif np_dt is not None and np_dt.kind == "i":
         # exact long comparison; [lo, hi] over integers ≡
         # [ceil(lo), floor(hi)], so fractional bounds stay exact too
         vmin = F.get_json_object("stats_json", "$.vmin").cast("long")
@@ -240,8 +276,8 @@ def footer_range_agg(chunks: DataFrame, value_col: str,
     boundary = (chunks
                 .join(F.broadcast(overlap_ids), "chunk_id", "left_semi")
                 .join(F.broadcast(answered), "chunk_id", "left_anti"))
-    r_t = _stored_spark_type(int(head.dtype_code), head.logical_type)
-    v_t = _stored_spark_type(int(vh.dtype_code), vh.logical_type)
+    r_t = _stored_spark_type(int(cov.r_dt), cov.r_lt)
+    v_t = _stored_spark_type(int(cov.v_dt), cov.v_lt)
     d = decode_table(boundary, [value_col, range_col],
                      f"{value_col} {v_t}, {range_col} {r_t}",
                      contiguous=contiguous)

@@ -24,6 +24,33 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+def bucket_by_span(df: DataFrame, col: str, buckets: int,
+                   out_col: str = "_bkt") -> DataFrame:
+    """Order-preserving equal-width bucket ids over `col`'s global
+    span (one tiny broadcast bounds row — stays in-plan, no driver
+    action).  The shared scaffold of every two-level
+    no-single-partition pass (ordered_cumsum here,
+    footer_stats.footer_percentile): bucketing is monotone in `col`,
+    so bucket order = value order and per-bucket work composes with a
+    ≤`buckets`-row prefix pass.
+
+    Correct for any value distribution; BALANCE depends on it — a
+    pathological column whose values cluster in a sliver of their
+    range collapses most rows into one bucket (one big window
+    partition).  Use a near-uniform column (dense ids, row numbers)
+    or rescale first."""
+    bounds = df.agg(F.min(col).alias("_gmin"), F.max(col).alias("_gmax"))
+    span = F.col("_gmax") - F.col("_gmin")
+    return (df.crossJoin(F.broadcast(bounds))
+            .withColumn(
+                out_col,
+                F.when(span <= 0, F.lit(0)).otherwise(
+                    F.least(F.floor((F.col(col) - F.col("_gmin"))
+                                    / span * buckets).cast("int"),
+                            F.lit(buckets - 1))))
+            .drop("_gmin", "_gmax"))
+
+
 def ordered_cumsum(df: DataFrame, order_col: str, value_col: str,
                    out_col: str = "cum",
                    buckets: int = 1024) -> DataFrame:
@@ -31,25 +58,20 @@ def ordered_cumsum(df: DataFrame, order_col: str, value_col: str,
     (inclusive of the current row), exact for integer values, with no
     single-partition pass over data rows.
 
-    `order_col` must be numeric with distinct values (ties would make
-    the running sum order-dependent); equal-width bucketing only needs
-    a monotone row→bucket map, so any value distribution stays
-    CORRECT.  Balance does depend on the distribution: a pathological
-    order column whose values cluster in a sliver of their range
-    collapses most rows into one bucket (one big window partition) —
-    use a near-uniform order column (dense ids, row numbers) or
-    rescale first.
+    `order_col` must be numeric, NON-NULL, and distinct (ties would
+    make the running sum order-dependent; a NULL has no position in
+    the order).  NULLs raise at evaluation time rather than silently
+    dropping rows — a NULL bucket key would vanish in the prefix
+    equi-join while its value still shifted other buckets' prefixes.
+    See bucket_by_span for the balance caveat.
     """
-    bounds = df.agg(F.min(order_col).alias("_gmin"),
-                    F.max(order_col).alias("_gmax"))
-    span = F.col("_gmax") - F.col("_gmin")
-    b = (df.crossJoin(F.broadcast(bounds))
-         .withColumn(
-             "_bkt",
-             F.when(span <= 0, F.lit(0)).otherwise(
-                 F.least(F.floor((F.col(order_col) - F.col("_gmin"))
-                                 / span * buckets).cast("int"),
-                         F.lit(buckets - 1)))))
+    guarded = df.withColumn(order_col, F.when(
+        F.col(order_col).isNotNull(), F.col(order_col)).otherwise(
+        F.raise_error(F.lit(
+            f"ordered_cumsum: NULL in order column {order_col!r} — "
+            f"null order values have no position in the running "
+            f"order; filter or fill them first"))))
+    b = bucket_by_span(guarded, order_col, buckets)
     bsums = b.groupBy("_bkt").agg(F.sum(value_col).alias("_bw"))
     w_pfx = (Window.orderBy("_bkt")
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
@@ -61,7 +83,7 @@ def ordered_cumsum(df: DataFrame, order_col: str, value_col: str,
     return (b.join(F.broadcast(prefix), "_bkt")
             .withColumn(out_col, F.col("_prev")
                         + F.sum(value_col).over(w_in))
-            .drop("_bkt", "_gmin", "_gmax", "_prev"))
+            .drop("_bkt", "_prev"))
 
 
 def pack_sequences(df: DataFrame, id_col: str, tokens_col: str,
