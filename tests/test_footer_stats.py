@@ -168,20 +168,53 @@ def test_footer_range_agg_null_range_rows_demoted(spark):
     chunks.unpersist()
 
 
+def test_footer_range_agg_decimal_and_date_range_columns(spark):
+    """decimal/date range columns: predicate bounds convert EXACTLY
+    into stored units (unscaled ints / day numbers) so the footer
+    fast path agrees with the decoded residual — including
+    fractional decimal bounds that fall between stored values."""
+    import datetime as dt
+    from decimal import Decimal
+
+    from varint_rvv_spark.operators.encode import encode_chunks_range
+    from varint_rvv_spark.operators.footer_stats import footer_range_agg
+
+    df = spark.createDataFrame(
+        [(i, f"{i}.{i % 100:02d}", dt.date(2024, 1, 1)
+          + dt.timedelta(days=i)) for i in range(120)],
+        "id long, p string, d date") \
+        .selectExpr("id", "CAST(p AS DECIMAL(9,2)) AS price", "d")
+    chunks = encode_chunks_range(df, ["id"], num_partitions=1,
+                                 rows_per_chunk=16).cache()
+    lo, hi = Decimal("10.505"), Decimal("90.25")
+    got = footer_range_agg(chunks, "id", "price", lo, hi).collect()[0]
+    exp = (df.filter((F.col("price") >= F.lit(lo))
+                     & (F.col("price") <= F.lit(hi)))
+           .agg(F.count("*"), F.sum("id")).collect()[0])
+    assert (got.n_rows, got.total) == (exp[0], exp[1])
+    d_lo, d_hi = dt.date(2024, 2, 10), "2024-03-20"
+    got2 = footer_range_agg(chunks, "id", "d", d_lo, d_hi).collect()[0]
+    exp2 = (df.filter((F.col("d") >= F.lit(d_lo))
+                      & (F.col("d") <= F.lit(dt.date(2024, 3, 20))))
+            .agg(F.count("*"), F.sum("id")).collect()[0])
+    assert (got2.n_rows, got2.total) == (exp2[0], exp2[1])
+    chunks.unpersist()
+
+
 def test_footer_range_agg_unit_mismatched_logicals_raise(spark):
-    """decimal/bool/date columns store footer stats in STORED units
-    (unscaled ints, 0/1, day numbers) while lo/hi and the decode-path
-    residual use decoded values — the operator must refuse, not
-    silently mix units."""
+    """Logicals with no exact unit conversion must refuse: bool range
+    columns, and any non-plain value column (decimal vsum is unscaled,
+    a timestamp sum is meaningless)."""
     from varint_rvv_spark.operators.encode import encode_chunks
     from varint_rvv_spark.operators.footer_stats import footer_range_agg
 
-    df = spark.createDataFrame([(i, str(i)) for i in range(40)],
-                               "id long, p string") \
-        .selectExpr("id", "CAST(p AS DECIMAL(9,2)) AS price")
+    df = spark.createDataFrame(
+        [(i, str(i), i % 2 == 0) for i in range(40)],
+        "id long, p string, flag boolean") \
+        .selectExpr("id", "CAST(p AS DECIMAL(9,2)) AS price", "flag")
     chunks = encode_chunks(df, key_cols=["id"], num_chunks=2).cache()
-    with pytest.raises(ValueError, match="predicate units"):
-        footer_range_agg(chunks, "id", "price", 1, 20)
+    with pytest.raises(ValueError, match="no exact conversion"):
+        footer_range_agg(chunks, "id", "flag", 0, 1)
     with pytest.raises(ValueError, match="decoded-value units"):
         footer_range_agg(chunks, "price", "id", 1, 20)
     chunks.unpersist()

@@ -160,10 +160,17 @@ def footer_range_agg(chunks: DataFrame, value_col: str,
     * every chunk must have a footer row for both columns — a store
       where either column was added later via schema evolution raises
       rather than silently dropping the uncovered chunks;
-    * logical types whose footer stats are not in predicate /
-      decoded-value units (decimal unscaled ints, bool 0/1, date day
-      numbers) raise instead of silently mixing units; u64 stats
-      compare as DECIMAL(20,0) (an ANSI cast to long would overflow).
+    * decimal and date range columns convert predicate bounds EXACTLY
+      into stored units (unscaled integers / day numbers), so price-
+      and date-range aggregations stay on the footer fast path;
+      logicals with no exact conversion (bool) raise, a value column
+      whose vsum is not in decoded units (decimal/bool/date/timestamp)
+      raises, and u64 stats compare as DECIMAL(20,0) (an ANSI cast to
+      long would overflow).
+
+    Range bounds: numbers for integer/float columns, epoch-µs for
+    timestamps, `datetime.date`/ISO strings for date columns,
+    numbers/strings/Decimals for decimal columns.
 
     `contiguous` follows decode_table's default (False): chunks read
     back from a parquet store lose chunk adjacency across file splits;
@@ -172,11 +179,20 @@ def footer_range_agg(chunks: DataFrame, value_col: str,
 
     Returns one row: (n_rows bigint, total bigint).
     """
+    import datetime as _dt
     import math
+    from decimal import ROUND_CEILING, ROUND_FLOOR, Decimal
 
     from ..codecs import blob as B
     from .decode import decode_table
     from .evolve import _stored_spark_type
+
+    def _as_date(x) -> _dt.date:
+        if isinstance(x, _dt.datetime):
+            return x.date()
+        if isinstance(x, _dt.date):
+            return x
+        return _dt.date.fromisoformat(str(x))
 
     rc = chunks.filter(F.col("column") == range_col)
     # ONE driver action for dtype/logical probes + footer coverage
@@ -207,51 +223,77 @@ def footer_range_agg(chunks: DataFrame, value_col: str,
             f"partially-covered store (schema evolution?) would "
             f"silently drop the uncovered chunks' rows; decode and "
             f"aggregate instead")
-    # logical-type units guard: footer vmin/vmax/vsum are in STORED
-    # units (decimal → unscaled ints, bool → 0/1, date → day numbers)
-    # while lo/hi and the decode-path residual compare DECODED values —
-    # mixing them is a silent wrong answer, so only unit-preserving
-    # logicals pass.  Timestamps are fine on the range side (stored µs,
-    # and the residual compares in epoch-µs too); narrow ints store
-    # their true values.
-    def _units_ok(lt: str, allow_ts: bool) -> bool:
-        return (lt == "plain" or lt.startswith("narrow_int:")
-                or (allow_ts and (lt == "timestamp_us"
-                                  or lt.startswith("timestamp_us:"))))
-
-    if not _units_ok(cov.r_lt, allow_ts=True):
+    # Unit handling: footer vmin/vmax are in STORED units (decimal →
+    # unscaled ints, date → day numbers, timestamps → epoch-µs) while
+    # the decode-path residual compares DECODED values.  For decimal
+    # and date range columns the predicate bounds convert EXACTLY into
+    # stored units (Decimal arithmetic / day arithmetic), so the two
+    # paths agree; logicals with no exact conversion (bool — a range
+    # over booleans is not meaningful) raise rather than silently mix
+    # units.  The value column must aggregate in decoded units
+    # (plain / narrow ints only): a decimal vsum would be unscaled and
+    # a timestamp sum is meaningless — both raise.
+    r_lt = cov.r_lt
+    # residual-filter bounds (decoded units) default to the inputs;
+    # decimal/date replace them with exact typed literals below
+    r_lo_lit, r_hi_lit = F.lit(lo), F.lit(hi)
+    if r_lt == "date32":
+        lo_d, hi_d = _as_date(lo), _as_date(hi)
+        epoch = _dt.date(1970, 1, 1)
+        lo_i, hi_i = (lo_d - epoch).days, (hi_d - epoch).days
+        r_lo_lit, r_hi_lit = F.lit(lo_d), F.lit(hi_d)
+        vmin = F.get_json_object("stats_json", "$.vmin").cast("long")
+        vmax = F.get_json_object("stats_json", "$.vmax").cast("long")
+        lo_b, hi_b = F.lit(lo_i), F.lit(hi_i)
+    elif r_lt.startswith("decimal:"):
+        s_ = int(r_lt.split(":")[2])
+        lo_dec, hi_dec = Decimal(str(lo)), Decimal(str(hi))
+        lo_b = F.lit(int((lo_dec * 10 ** s_)
+                         .to_integral_value(rounding=ROUND_CEILING)))
+        hi_b = F.lit(int((hi_dec * 10 ** s_)
+                         .to_integral_value(rounding=ROUND_FLOOR)))
+        r_lo_lit, r_hi_lit = F.lit(lo_dec), F.lit(hi_dec)
+        vmin = F.get_json_object("stats_json", "$.vmin").cast("long")
+        vmax = F.get_json_object("stats_json", "$.vmax").cast("long")
+    elif (r_lt == "plain" or r_lt.startswith("narrow_int:")
+          or r_lt == "timestamp_us"
+          or r_lt.startswith("timestamp_us:")):
+        np_dt = B.NUMERIC_NP.get(int(cov.r_dt))
+        if np_dt is not None and np_dt.kind == "u":
+            # u64 stats may exceed long; DECIMAL(20,0) covers the full
+            # uint64 domain exactly (an ANSI CAST to LONG would raise;
+            # string literals because a python int past 2^63-1 has no
+            # Spark literal type)
+            vmin = F.get_json_object("stats_json", "$.vmin") \
+                .cast("decimal(20,0)")
+            vmax = F.get_json_object("stats_json", "$.vmax") \
+                .cast("decimal(20,0)")
+            lo_b = F.lit(str(int(math.ceil(lo)))).cast("decimal(20,0)")
+            hi_b = F.lit(str(int(math.floor(hi)))).cast("decimal(20,0)")
+        elif np_dt is not None and np_dt.kind == "i":
+            # exact long comparison; [lo, hi] over integers ≡
+            # [ceil(lo), floor(hi)], so fractional bounds stay exact
+            vmin = F.get_json_object("stats_json", "$.vmin").cast("long")
+            vmax = F.get_json_object("stats_json", "$.vmax").cast("long")
+            lo_b, hi_b = (F.lit(int(math.ceil(lo))),
+                          F.lit(int(math.floor(hi))))
+        else:
+            vmin = F.get_json_object("stats_json", "$.vmin") \
+                .cast("double")
+            vmax = F.get_json_object("stats_json", "$.vmax") \
+                .cast("double")
+            lo_b, hi_b = F.lit(float(lo)), F.lit(float(hi))
+    else:
         raise ValueError(
             f"footer_range_agg: range column {range_col!r} stores "
-            f"logical type {cov.r_lt!r}, whose footer stats are not "
-            f"in predicate units — decode and filter instead")
-    if not _units_ok(cov.v_lt, allow_ts=False):
+            f"logical type {r_lt!r}, whose footer stats have no exact "
+            f"conversion to predicate units — decode and filter "
+            f"instead")
+    if not (cov.v_lt == "plain" or cov.v_lt.startswith("narrow_int:")):
         raise ValueError(
             f"footer_range_agg: value column {value_col!r} stores "
             f"logical type {cov.v_lt!r}, whose footer vsum is not in "
             f"decoded-value units — decode and aggregate instead")
-    np_dt = B.NUMERIC_NP.get(int(cov.r_dt))
-    if np_dt is not None and np_dt.kind == "u":
-        # u64 stats may exceed long; DECIMAL(20,0) covers the full
-        # uint64 domain exactly (an ANSI CAST to LONG would raise)
-        vmin = F.get_json_object("stats_json", "$.vmin") \
-            .cast("decimal(20,0)")
-        vmax = F.get_json_object("stats_json", "$.vmax") \
-            .cast("decimal(20,0)")
-        # string literals: a python int past 2^63-1 has no Spark
-        # literal type, but CAST('...' AS DECIMAL(20,0)) is exact
-        lo_b = F.lit(str(int(math.ceil(lo)))).cast("decimal(20,0)")
-        hi_b = F.lit(str(int(math.floor(hi)))).cast("decimal(20,0)")
-    elif np_dt is not None and np_dt.kind == "i":
-        # exact long comparison; [lo, hi] over integers ≡
-        # [ceil(lo), floor(hi)], so fractional bounds stay exact too
-        vmin = F.get_json_object("stats_json", "$.vmin").cast("long")
-        vmax = F.get_json_object("stats_json", "$.vmax").cast("long")
-        lo_b, hi_b = (F.lit(int(math.ceil(lo))),
-                      F.lit(int(math.floor(hi))))
-    else:
-        vmin = F.get_json_object("stats_json", "$.vmin").cast("double")
-        vmax = F.get_json_object("stats_json", "$.vmax").cast("double")
-        lo_b, hi_b = F.lit(float(lo)), F.lit(float(hi))
     # null-filled range values poison the containment test (fill=0):
     # any chunk with a validity bitmap on range_col decodes instead
     no_nulls = F.coalesce(F.length("validity"), F.lit(0)) == 0
@@ -284,7 +326,7 @@ def footer_range_agg(chunks: DataFrame, value_col: str,
     rcol = (F.unix_micros(F.col(range_col).cast("timestamp"))
             if r_t in ("timestamp", "timestamp_ntz")
             else F.col(range_col))
-    decode_part = (d.filter((rcol >= F.lit(lo)) & (rcol <= F.lit(hi)))
+    decode_part = (d.filter((rcol >= r_lo_lit) & (rcol <= r_hi_lit))
                    .agg(F.count(F.lit(1)).alias("n_rows"),
                         F.coalesce(F.sum(value_col), F.lit(0))
                         .cast("long").alias("total")))
