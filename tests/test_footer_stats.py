@@ -261,6 +261,78 @@ def test_footer_range_agg_store_read_chunks(spark, tmp_path):
     assert (got.n_rows, got.total) == (exp[0], exp[1])
 
 
+def test_footer_topk_exact_and_pruned(spark):
+    """Top-k pushdown: exact vs plain orderBy/limit on clustered AND
+    unclustered stores, descending and ascending; on the clustered
+    store the candidate set is a small fraction of the chunks."""
+    from varint_rvv_spark.operators.encode import (
+        encode_chunks,
+        encode_chunks_range,
+    )
+    from varint_rvv_spark.operators.footer_stats import footer_topk
+
+    df = spark.read.parquet(EVENTS)
+    for mk, clustered in [
+            (lambda: encode_chunks_range(df, ["value"],
+                                         num_partitions=4,
+                                         rows_per_chunk=64), True),
+            (lambda: encode_chunks(df, key_cols=["event_id"],
+                                   num_chunks=16), False)]:
+        chunks = mk().cache()
+        for desc in (True, False):
+            cand = footer_topk(chunks, "value", 25,
+                               ["event_id", "value"],
+                               "event_id long, value double",
+                               descending=desc)
+            order = ([F.desc("value"), "event_id"] if desc
+                     else [F.asc("value"), "event_id"])
+            got = [tuple(r) for r in
+                   cand.orderBy(*order).limit(25).collect()]
+            exp = [tuple(r) for r in
+                   df.select("event_id", "value")
+                   .orderBy(*order).limit(25).collect()]
+            assert got == exp, (clustered, desc)
+        if clustered:
+            n_cand = cand.select("event_id").count()
+            assert n_cand < df.count() // 4  # real pruning
+        chunks.unpersist()
+    # guards
+    chunks = encode_chunks(df.limit(50), key_cols=["event_id"],
+                           num_chunks=2).cache()
+    from varint_rvv_spark.operators.footer_stats import footer_topk
+
+    with pytest.raises(ValueError, match="k must be positive"):
+        footer_topk(chunks, "value", 0, ["value"], "value double")
+    with pytest.raises(ValueError, match="must be in"):
+        footer_topk(chunks, "value", 5, ["event_id"], "event_id long")
+    with pytest.raises(ValueError, match="no footer rows"):
+        footer_topk(chunks, "nope", 5, ["nope"], "nope long")
+    chunks.unpersist()
+
+
+def test_footer_topk_null_heavy_store_stays_exact(spark):
+    """Chunks with NULL order values contribute 0 guaranteed rows but
+    stay candidates — an all-null-bearing store degrades to full
+    decode, never a wrong answer."""
+    from varint_rvv_spark.operators.encode import encode_chunks
+    from varint_rvv_spark.operators.footer_stats import footer_topk
+
+    df = spark.createDataFrame(
+        [(i, None if i % 3 == 0 else float(i)) for i in range(90)],
+        "id long, v double")
+    chunks = encode_chunks(df, key_cols=["id"], num_chunks=4).cache()
+    cand = footer_topk(chunks, "v", 10, ["id", "v"],
+                       "id long, v double")
+    got = [tuple(r) for r in
+           cand.orderBy(F.desc_nulls_last("v"), "id")
+           .limit(10).collect()]
+    exp = [tuple(r) for r in
+           df.orderBy(F.desc_nulls_last("v"), "id")
+           .limit(10).collect()]
+    assert got == exp
+    chunks.unpersist()
+
+
 def test_footer_percentile_sample_window_is_partitioned(spark):
     """The per-sample ordered window must be partitioned (by winning
     bucket) — the scale fix: no single-partition exchange ever carries

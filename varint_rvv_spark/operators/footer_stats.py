@@ -333,3 +333,80 @@ def footer_range_agg(chunks: DataFrame, value_col: str,
     return (footer_part.unionByName(decode_part)
             .agg(F.sum("n_rows").cast("long").alias("n_rows"),
                  F.sum("total").cast("long").alias("total")))
+
+
+def footer_topk(chunks: DataFrame, order_col: str, k: int,
+                columns: list[str], spark_schema: str,
+                descending: bool = True,
+                contiguous: bool = False) -> DataFrame:
+    """EXACT top-k rows by `order_col`, decoding only the chunks the
+    zone maps cannot exclude.
+
+    Classic statistics pushdown for ORDER BY ... LIMIT k: walk chunks
+    in vmax-descending order (vmin-ascending for ascending), take
+    chunks until their guaranteed non-null rows reach k, set the
+    threshold t = min(vmin) over the taken set (max(vmax) for
+    ascending) — the true k-th value is ≥ t, so any chunk with
+    vmax < t is provably out and never decodes.  On a range-clustered
+    store the candidate set is ⌈k / rows_per_chunk⌉ + ties — O(1)
+    chunks per query at any store size.
+
+    Conservative with nulls and missing stats: a chunk with a
+    validity bitmap on `order_col` (null-filled stats) or without a
+    zone map contributes 0 guaranteed rows but stays a candidate, so
+    the result is exact even when every chunk has nulls (degrades to
+    full decode, never a wrong answer).  ORDER BY semantics are
+    Spark's defaults (NULLS LAST for DESC / FIRST for ASC) — the
+    caller applies the final orderBy + limit.
+
+    The chunk-selection window runs over footer metadata (one row per
+    chunk) — the same deliberate metadata-scale trade as
+    compact_chunks' bin packing.
+
+    Returns the decoded candidate rows (superset of the top-k);
+    callers finish with `.orderBy(...).limit(k)`.
+    """
+    from .decode import decode_table
+
+    if k <= 0:
+        raise ValueError("footer_topk: k must be positive")
+    if order_col not in columns:
+        raise ValueError(f"footer_topk: order column {order_col!r} "
+                         f"must be in `columns`")
+    rc = chunks.filter(F.col("column") == order_col)
+    if rc.select("chunk_id").head() is None:
+        raise ValueError(f"footer_topk: no footer rows for "
+                         f"{order_col!r}")
+    vmin = F.get_json_object("stats_json", "$.vmin").cast("double")
+    vmax = F.get_json_object("stats_json", "$.vmax").cast("double")
+    no_nulls = F.coalesce(F.length("validity"), F.lit(0)) == 0
+    has_stats = vmin.isNotNull() & vmax.isNotNull()
+    eff = F.when(no_nulls & has_stats, F.col("n_values")) \
+        .otherwise(F.lit(0))
+    lead, trail = (vmax, vmin) if descending else (vmin, vmax)
+    order = [F.desc_nulls_last("_lead")] if descending \
+        else [F.asc_nulls_last("_lead")]
+    meta = rc.select("chunk_id", lead.alias("_lead"),
+                     trail.alias("_trail"), eff.alias("_eff"))
+    w = (Window.orderBy(*order, "chunk_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    meta = meta.withColumn("_cum", F.sum("_eff").over(w))
+    taken = meta.filter(F.col("_cum") - F.col("_eff") < k)
+    thr = (taken.agg((F.min("_trail") if descending
+                      else F.max("_trail")).alias("t"),
+                     F.sum("_eff").alias("got")))
+    # candidates: taken ∪ chunks whose lead stat crosses the
+    # threshold (ties at t included); statless/nully chunks are
+    # always candidates.  When the taken set still lacks k guaranteed
+    # rows (tiny or all-null store), keep everything.
+    cand_ids = (meta.crossJoin(F.broadcast(thr))
+                .filter(F.col("t").isNull()
+                        | (F.col("got") < k)
+                        | F.col("_lead").isNull()
+                        | (F.col("_lead") >= F.col("t")
+                           if descending
+                           else F.col("_lead") <= F.col("t")))
+                .select("chunk_id"))
+    cand = chunks.join(F.broadcast(cand_ids), "chunk_id", "left_semi")
+    return decode_table(cand, columns, spark_schema,
+                        contiguous=contiguous)

@@ -247,6 +247,32 @@ WHERE epoch_us(ts) >= 1704844800000000
 """
 
 
+def footer_topk_events(spark, sf_dir):
+    """Top-k pushdown to statistics (footer_stats.footer_topk):
+    ORDER BY ts DESC LIMIT 50 over a ts-clustered store decodes only
+    the chunks whose zone maps can contain the k-th value — O(1)
+    chunks per query on a clustered store.  Oracle is the plain
+    ORDER BY ... LIMIT."""
+    from .operators.encode import encode_chunks_range
+    from .operators.footer_stats import footer_topk
+
+    df = _t(spark, sf_dir, "events")
+    chunks = encode_chunks_range(df, ["ts"], num_partitions=8,
+                                 rows_per_chunk=512).cache()
+    cand = footer_topk(chunks, "ts", 50, ["event_id", "ts"],
+                       "event_id long, ts timestamp",
+                       descending=True, contiguous=True)
+    return (cand.orderBy(F.desc("ts"), "event_id").limit(50)
+            .select("event_id",
+                    F.unix_micros("ts").alias("ts_us")))
+
+
+FOOTER_TOPK_SQL = """
+SELECT event_id, epoch_us(ts) AS ts_us
+FROM events ORDER BY ts DESC, event_id LIMIT 50
+"""
+
+
 def rt_documents_source_pruned(spark, sf_dir):
     """Equality-pruned round-trip (categorical twin of
     rt_events_pruned): source-clustered chunks, footer dvset/bloom
@@ -2548,6 +2574,7 @@ QUERIES = {
     # -- new or changed in round 4 -----------------------------------
     "rt_documents_annotations": rt_documents_annotations,
     "pack_sequences_documents": pack_sequences_documents,
+    "footer_topk_events": footer_topk_events,
     "footer_range_agg_events": footer_range_agg_events,
     "scan_encoded_clicks_window": scan_encoded_clicks_window,
     # -- flagship per-family rows ------------------------------------
@@ -2580,9 +2607,9 @@ QUERIES = {
     "events_range_join_sessions": events_range_join_sessions,
     "rt_events_scanmode": rt_events_scanmode,
     "rt_events_pruned": rt_events_pruned,
-    "rt_events_zorder_pruned": rt_events_zorder_pruned,
     "rt_documents_point_lookup": rt_documents_point_lookup,
     # ---- driver window ends at 50 entries (here) -------------------
+    "rt_events_zorder_pruned": rt_events_zorder_pruned,
     "rt_documents_source_pruned": rt_documents_source_pruned,
     "codec_footer_documents": codec_footer_documents,
     "sample_documents_deterministic": sample_documents_deterministic,
@@ -2673,6 +2700,7 @@ ORACLES = {
     "rt_documents_tokens": RT_DOCUMENTS_TOKENS_SQL,
     "rt_documents_annotations": RT_DOCUMENTS_ANNOTATIONS_SQL,
     "pack_sequences_documents": PACK_SEQUENCES_SQL,
+    "footer_topk_events": FOOTER_TOPK_SQL,
     "footer_agg_events": FOOTER_AGG_SQL,
     "rt_documents_forced_codecs": RT_FORCED_CODECS_SQL,
     "rt_events_forced_float_codecs": RT_FORCED_FLOAT_SQL,
