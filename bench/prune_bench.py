@@ -163,6 +163,40 @@ def main() -> None:
         lambda d: d.filter(F.col("ts_us").between(t_lo, t_hi)
                            & (F.col("text_len") >= len_lo)))
 
+    # 3b. top-k pushdown: "latest 1000 pages with bodies" on a
+    # ts-clustered store — footer_topk decodes only the chunks whose
+    # zone maps can contain the k-th timestamp
+    from varint_rvv_spark.operators.footer_stats import footer_topk
+
+    pt = (pages.withColumn("ts_us", F.unix_micros("warc_ts"))
+          .select("url", "ts_us", "html", "text"))
+    ch6 = materialize(encode_chunks_range(pt, ["ts_us"],
+                                          num_partitions=8,
+                                          rows_per_chunk=ROWS_PER),
+                      "ch6")
+    TS_SCHEMA = "url string, ts_us long, html binary, text string"
+
+    def topk_full():
+        return (decode_table(ch6, pt.columns, TS_SCHEMA,
+                             contiguous=False)
+                .orderBy(F.desc("ts_us"), "url").limit(1000)
+                .agg(F.count(F.lit(1))).collect())
+
+    def topk_pruned():
+        cand = footer_topk(ch6, "ts_us", 1000, pt.columns, TS_SCHEMA)
+        return (cand.orderBy(F.desc("ts_us"), "url").limit(1000)
+                .agg(F.count(F.lit(1))).collect())
+
+    t_topk_full = timed(topk_full)
+    t_topk_pruned = timed(topk_pruned)
+    n_topk_cand = (footer_topk(ch6, "ts_us", 1000, pt.columns,
+                               TS_SCHEMA)
+                   .groupBy().count().collect()[0][0] + ROWS_PER - 1) \
+        // ROWS_PER
+    rows.append(("top-1000 latest pages (footer_topk, ts-clustered), "
+                 "bodies", n_chunks(ch6), n_topk_cand,
+                 t_topk_full, t_topk_pruned))
+
     # 4. footer-only percentile vs decode + percentile_approx —
     # small store (events, ~0.6M rows) and a 40M-row numeric store:
     # the footer path is constant in store size, the decode path is
