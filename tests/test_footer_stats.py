@@ -348,3 +348,24 @@ def test_footer_percentile_sample_window_is_partitioned(spark):
     for ln in v_windows:
         assert "bucket" in ln, f"sample window not partitioned: {ln}"
     chunks.unpersist()
+
+
+def test_footer_percentile_heavy_tail_rank_bounded(spark):
+    """Power-law column with a 10^9x outlier: the r4 equal-width
+    bucket grid collapsed ~the whole pooled sample into bucket 0
+    (single-partition funnel); rank-uniform boundaries keep the
+    estimate's rank error bounded AND the pool spread (balance itself
+    is asserted on the scaffold in test_pack.py)."""
+    rows = [(i, float((i % 1000 + 1) ** 2)) for i in range(4000)]
+    rows[0] = (0, 1.0e12)  # the outlier that stretched the span
+    df = spark.createDataFrame(rows, "event_id long, value double")
+    chunks = encode_chunks(df, key_cols=["event_id"],
+                           num_chunks=8).cache()
+    try:
+        est = footer_percentile(chunks, "value", [0.5, 0.99]) \
+            .collect()[0]
+        for q, v in [(0.5, est.p50), (0.99, est.p99)]:
+            r = _rank_of(df, "value", v)
+            assert abs(r - q) < 0.08, (q, v, r)
+    finally:
+        chunks.unpersist()

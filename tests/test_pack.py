@@ -102,3 +102,51 @@ def test_ordered_cumsum_plan_has_no_global_data_window(spark):
     assert data_windows, "expected a doc-level window"
     for ln in data_windows:
         assert "_bkt" in ln, f"data window not partitioned: {ln}"
+
+
+def test_bucket_by_rank_balanced_on_heavy_tail(spark):
+    """The r4 equal-width grid collapsed a heavy-tailed column into
+    bucket 0 (one 10^9x outlier stretched the span); rank-uniform
+    boundaries keep every bucket within ~2x the mean weight."""
+    from varint_rvv_spark.operators.pack import bucket_by_rank
+
+    vals = [(i, i * i) for i in range(1, 1001)] + [(0, 10 ** 15)]
+    df = spark.createDataFrame(vals, "id long, v long")
+    counts = [r.c for r in bucket_by_rank(df, "v", 16)
+              .groupBy("_bkt").agg(F.count(F.lit(1)).alias("c"))
+              .collect()]
+    mean = sum(counts) / len(counts)
+    assert len(counts) >= 8, counts
+    assert max(counts) <= 2 * mean, counts
+
+
+def test_ordered_cumsum_heavy_tail_exact(spark):
+    """Exactness is distribution-independent; the heavy tail only
+    tests balance plumbing (boundary ties, dedup, sparse buckets)."""
+    rows = [((7 ** i) % (10 ** 12) + i, (i % 97) + 1)
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    got = ordered_cumsum(df, "id", "v", out_col="cum", buckets=32)
+    ref = _reference_cumsum(df, "id", "v")
+    joined = got.join(ref.select("id", "ref"), "id")
+    assert joined.filter(F.col("cum") != F.col("ref")).count() == 0
+
+
+def test_ordered_cumsum_full_long_span(spark):
+    """ids spanning more than the int64 range: the old grid's
+    (max - min) span arithmetic raised ANSI overflow; the rank path
+    does no arithmetic at all."""
+    df = spark.createDataFrame([(-2 ** 62, 3), (0, 5), (2 ** 62, 7)],
+                               "id long, v long")
+    rows = {r.id: r.cum
+            for r in ordered_cumsum(df, "id", "v", buckets=8).collect()}
+    assert rows == {-2 ** 62: 3, 0: 8, 2 ** 62: 15}
+
+
+def test_ordered_cumsum_duplicate_order_raises(spark):
+    """Tied order keys have no deterministic running-sum order — the
+    guard must raise loudly instead of silently picking one."""
+    df = spark.createDataFrame([(1, 5), (2, 7), (2, 11)],
+                               "id long, v long")
+    with pytest.raises(Exception, match="duplicate"):
+        ordered_cumsum(df, "id", "v").collect()

@@ -67,7 +67,13 @@ def dec_list(payload, n: int, dtype_code: int) -> B.ListValues:
     logical, validity = "plain", b""
     if tagged:
         log_b, pos = _unframe(mv, pos)
-        logical = bytes(log_b).decode("utf-8")
+        try:
+            logical = bytes(log_b).decode("utf-8")
+        except UnicodeDecodeError as e:
+            # corrupt/truncated payloads surface in the same
+            # ValueError family as every other malformed-payload path
+            raise ValueError(
+                f"list payload: bad logical tag ({e})") from e
         val_b, pos = _unframe(mv, pos)
         validity = bytes(val_b)
     child_blob, _ = _unframe(mv, pos)

@@ -15,11 +15,14 @@ concentrates around ±1/√(32·C) — at 100 TB (~10⁶ chunks) that is a
 without a sample (all-NaN, singleton) are simply absent from the
 pool; the estimate stays valid for the sampled mass.
 
-Plan shape: two-level merge.  Pooled samples hash into ≤1024
-equal-width value buckets (bucketing is monotone in v, so bucket
-order = value order); the cumulative-rank window runs over the ~10³
-AGGREGATED bucket rows only, and the ordered per-sample window runs
-only inside the ≤len(qs) winning buckets, partitioned by bucket.  No
+Plan shape: two-level merge.  Pooled samples land in ≤1024
+RANK-UNIFORM value buckets (pack.bucket_by_rank: sampled-quantile
+boundaries, so a heavy-tailed column — one 10⁹× outlier — still
+spreads ~1/1024 of the pool per bucket instead of collapsing into
+bucket 0; bucketing is monotone in v, so bucket order = value
+order); the cumulative-rank window runs over the ~10³ AGGREGATED
+bucket rows only, and the ordered per-sample window runs only
+inside the ≤len(qs) winning buckets, partitioned by bucket.  No
 single-partition exchange ever carries sample rows — at 100 TB
 (~1.6 M chunks → ~50 M pooled samples) the old global
 `Window.orderBy(v)` funneled all of them through one task.
@@ -74,12 +77,14 @@ def footer_percentile(chunks: DataFrame, column: str,
             f"footer_percentile: no footer samples for column "
             f"{column!r} (wrong name, varlen column, or non-finite "
             f"chunks) — decode and use percentile_approx instead")
-    # level 1: order-preserving span buckets (shared scaffold —
-    # pack.bucket_by_span; samples are never NULL: qsample only
-    # exists for finite, no-null chunks)
-    from .pack import bucket_by_span
+    # level 1: order-preserving rank-uniform buckets (shared scaffold
+    # — pack.bucket_by_rank; samples are never NULL: qsample only
+    # exists for finite, no-null chunks).  Boundaries are driver-side
+    # literals from the checkpointed pool (bounded: one ≤8 KB row),
+    # so every branch of this plan sees identical bucket ids.
+    from .pack import bucket_by_rank
 
-    s = bucket_by_span(samples, "v", _N_BUCKETS, out_col="bucket")
+    s = bucket_by_rank(samples, "v", _N_BUCKETS, out_col="bucket")
     buckets = s.groupBy("bucket").agg(F.sum("w").alias("bw"),
                                       F.max("v").alias("bvmax"))
     # cumulative rank over ≤1024 aggregated rows (the only
@@ -270,6 +275,10 @@ def footer_range_agg(chunks: DataFrame, value_col: str,
                 .cast("decimal(20,0)")
             lo_b = F.lit(str(int(math.ceil(lo)))).cast("decimal(20,0)")
             hi_b = F.lit(str(int(math.floor(hi)))).cast("decimal(20,0)")
+            # residual filter shares the exact integral bounds: raw
+            # fractional literals would promote the decoded column to
+            # double and collapse adjacent values past 2^53
+            r_lo_lit, r_hi_lit = lo_b, hi_b
         elif np_dt is not None and np_dt.kind == "i":
             # exact long comparison; [lo, hi] over integers ≡
             # [ceil(lo), floor(hi)], so fractional bounds stay exact
@@ -277,6 +286,10 @@ def footer_range_agg(chunks: DataFrame, value_col: str,
             vmax = F.get_json_object("stats_json", "$.vmax").cast("long")
             lo_b, hi_b = (F.lit(int(math.ceil(lo))),
                           F.lit(int(math.floor(hi))))
+            # residual filter shares the exact long bounds (a
+            # fractional 5.5 literal would promote the comparison to
+            # double — misclassifies rows past 2^53)
+            r_lo_lit, r_hi_lit = lo_b, hi_b
         else:
             vmin = F.get_json_object("stats_json", "$.vmin") \
                 .cast("double")

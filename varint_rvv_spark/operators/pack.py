@@ -11,44 +11,99 @@ sequential first-fit recurrence, so it distributes.
 The global running count is the scale problem: a naive
 `Window.orderBy(id)` moves the whole corpus through ONE task.
 `ordered_cumsum` is the two-level factoring (same pattern as
-footer_stats.footer_percentile): bucket rows by an order-preserving
-equal-width grid on the order column, aggregate one row per bucket,
-run the tiny bucket-prefix window over ≤`buckets` aggregated rows,
-and add per-bucket partitioned running sums — bit-exact integer
-arithmetic, and no exchange ever carries data rows to a single
-partition (plan-asserted in tests/test_pack.py).
+footer_stats.footer_percentile): bucket rows into rank-uniform
+order-preserving buckets, aggregate one row per bucket, run the tiny
+bucket-prefix window over ≤`buckets` aggregated rows, and add
+per-bucket partitioned running sums — bit-exact integer arithmetic,
+and no exchange ever carries data rows to a single partition
+(plan-asserted in tests/test_pack.py).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
-def bucket_by_span(df: DataFrame, col: str, buckets: int,
+def rank_boundaries(df: DataFrame, col: str, buckets: int,
+                    accuracy: int = 10_000) -> list:
+    """≤`buckets`-1 approximate quantile boundaries of `col`, as
+    driver-side literals (sorted, deduplicated).
+
+    One distributed `percentile_approx` aggregate (map-side partial
+    merge, no skew) collecting a SINGLE row of ≤`buckets`-1 values —
+    bounded at ~8 KB for the default 1024 buckets, the same
+    metadata-scale trade as compact_chunks' bin packing.  Collecting
+    to the driver (rather than broadcasting the agg row in-plan) is
+    deliberate: the boundaries become plain literals, so a plan that
+    references the bucketed frame from several branches can never
+    re-sample different boundaries per branch — bucket ids are
+    consistent by construction.
+
+    `percentile_approx` returns ACTUAL column values (no
+    interpolation), so integer boundaries stay exact integers — no
+    2^53 double collapse.  NULLs are ignored by the sketch.
+    """
+    if buckets < 1:
+        raise ValueError("rank_boundaries: buckets must be >= 1")
+    if buckets == 1:
+        return []
+    fracs = F.array(*[F.lit(i / buckets) for i in range(1, buckets)])
+    row = df.agg(F.percentile_approx(
+        F.col(col), fracs, F.lit(accuracy)).alias("_b")).head()
+    vals = row[0] if row is not None and row[0] is not None else []
+    return sorted(set(v for v in vals if v is not None))
+
+
+def bucket_search_expr(col: str, boundaries: list) -> Column:
+    """Bucket id = #{boundaries <= value}, as a balanced binary-search
+    tree of literal comparisons — O(log B) comparisons per row, pure
+    whole-stage-codegen JVM expression (no crossJoin, no arithmetic,
+    so no ANSI overflow on wide-spanning columns).
+
+    Monotone in `col` by construction (thresholds are sorted), which
+    is the only property correctness needs; balance is what the
+    rank-uniform boundaries buy.  A NULL value falls through every
+    comparison into the LAST bucket — callers that care guard NULLs
+    upstream (ordered_cumsum raises).
+    """
+    c = F.col(col)
+
+    def _search(lo: int, hi: int) -> Column:
+        # invariant: answer in [lo, hi]; thresholds b[lo..hi-1] active
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2
+        return (F.when(c < F.lit(boundaries[mid]), _search(lo, mid))
+                .otherwise(_search(mid + 1, hi)))
+
+    return _search(0, len(boundaries))
+
+
+def bucket_by_rank(df: DataFrame, col: str, buckets: int,
                    out_col: str = "_bkt") -> DataFrame:
-    """Order-preserving equal-width bucket ids over `col`'s global
-    span (one tiny broadcast bounds row — stays in-plan, no driver
-    action).  The shared scaffold of every two-level
-    no-single-partition pass (ordered_cumsum here,
-    footer_stats.footer_percentile): bucketing is monotone in `col`,
-    so bucket order = value order and per-bucket work composes with a
-    ≤`buckets`-row prefix pass.
+    """Order-preserving RANK-UNIFORM bucket ids over `col`.  The
+    shared scaffold of every two-level no-single-partition pass
+    (ordered_cumsum here, footer_stats.footer_percentile): bucketing
+    is monotone in `col`, so bucket order = value order and
+    per-bucket work composes with a ≤`buckets`-row prefix pass.
 
-    Correct for any value distribution; BALANCE depends on it — a
-    pathological column whose values cluster in a sliver of their
-    range collapses most rows into one bucket (one big window
-    partition).  Use a near-uniform column (dense ids, row numbers)
-    or rescale first."""
-    bounds = df.agg(F.min(col).alias("_gmin"), F.max(col).alias("_gmax"))
-    span = F.col("_gmax") - F.col("_gmin")
-    return (df.crossJoin(F.broadcast(bounds))
-            .withColumn(
-                out_col,
-                F.when(span <= 0, F.lit(0)).otherwise(
-                    F.least(F.floor((F.col(col) - F.col("_gmin"))
-                                    / span * buckets).cast("int"),
-                            F.lit(buckets - 1))))
-            .drop("_gmin", "_gmax"))
+    Unlike an equal-width value grid (this function's r4 predecessor,
+    bucket_by_span), boundaries come from sampled quantiles
+    (rank_boundaries), so a heavy-tailed column — one 10^9× outlier
+    document, a power-law revenue column — still spreads across
+    buckets instead of collapsing into bucket 0 and re-creating the
+    single-partition funnel.  Max bucket weight ≈ 1/buckets of the
+    rows + the sketch's rank error (1/accuracy), except for mass
+    concentrated on a SINGLE repeated value, which no monotone
+    bucketing can split (ordered_cumsum forbids ties anyway).
+    """
+    bnds = rank_boundaries(df, col, buckets)
+    return df.withColumn(out_col, bucket_search_expr(col, bnds))
+
+
+# r4-compat name: the scaffold used to be an equal-width value grid;
+# the rank-uniform version supersedes it everywhere (VERDICT r4 #1).
+bucket_by_span = bucket_by_rank
 
 
 def ordered_cumsum(df: DataFrame, order_col: str, value_col: str,
@@ -58,12 +113,14 @@ def ordered_cumsum(df: DataFrame, order_col: str, value_col: str,
     (inclusive of the current row), exact for integer values, with no
     single-partition pass over data rows.
 
-    `order_col` must be numeric, NON-NULL, and distinct (ties would
-    make the running sum order-dependent; a NULL has no position in
-    the order).  NULLs raise at evaluation time rather than silently
-    dropping rows — a NULL bucket key would vanish in the prefix
-    equi-join while its value still shifted other buckets' prefixes.
-    See bucket_by_span for the balance caveat.
+    `order_col` must be numeric, NON-NULL, and distinct.  Both are
+    RUNTIME-GUARDED with raise_error rather than silently corrupted:
+    a NULL has no position in the order (and its bucket key would
+    vanish in the prefix equi-join while its value still shifted
+    other buckets' prefixes); duplicate keys would make the running
+    sum order-dependent per tied row.  The duplicate guard rides the
+    same (bucket, order) sort as the running-sum window — zero extra
+    exchange.
     """
     guarded = df.withColumn(order_col, F.when(
         F.col(order_col).isNotNull(), F.col(order_col)).otherwise(
@@ -71,7 +128,7 @@ def ordered_cumsum(df: DataFrame, order_col: str, value_col: str,
             f"ordered_cumsum: NULL in order column {order_col!r} — "
             f"null order values have no position in the running "
             f"order; filter or fill them first"))))
-    b = bucket_by_span(guarded, order_col, buckets)
+    b = bucket_by_rank(guarded, order_col, buckets)
     bsums = b.groupBy("_bkt").agg(F.sum(value_col).alias("_bw"))
     w_pfx = (Window.orderBy("_bkt")
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
@@ -80,10 +137,25 @@ def ordered_cumsum(df: DataFrame, order_col: str, value_col: str,
               .select("_bkt", "_prev"))
     w_in = (Window.partitionBy("_bkt").orderBy(order_col)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # tie detector: a RANGE CURRENT ROW..CURRENT ROW frame counts the
+    # current row's PEERS (rows with equal order value) and shares
+    # w_in's partitioning AND sort — same Window operator, no extra
+    # exchange (a partitionBy(_bkt, order_col) twin would demand a
+    # different hash distribution and re-shuffle the data rows)
+    w_tie = (Window.partitionBy("_bkt").orderBy(order_col)
+             .rangeBetween(Window.currentRow, Window.currentRow))
     return (b.join(F.broadcast(prefix), "_bkt")
-            .withColumn(out_col, F.col("_prev")
-                        + F.sum(value_col).over(w_in))
-            .drop("_bkt", "_prev"))
+            .withColumn("_nd", F.count(F.lit(1)).over(w_tie))
+            .withColumn(
+                out_col,
+                F.when(F.col("_nd") > 1, F.raise_error(F.lit(
+                    f"ordered_cumsum: duplicate values in order "
+                    f"column {order_col!r} — tied rows have no "
+                    f"deterministic running-sum order; disambiguate "
+                    f"with a secondary key first")))
+                .otherwise(F.col("_prev")
+                           + F.sum(value_col).over(w_in)))
+            .drop("_bkt", "_prev", "_nd"))
 
 
 def pack_sequences(df: DataFrame, id_col: str, tokens_col: str,
