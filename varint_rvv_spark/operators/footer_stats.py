@@ -260,6 +260,18 @@ def footer_range_agg(chunks: DataFrame, value_col: str,
         r_lo_lit, r_hi_lit = F.lit(lo_dec), F.lit(hi_dec)
         vmin = F.get_json_object("stats_json", "$.vmin").cast("long")
         vmax = F.get_json_object("stats_json", "$.vmax").cast("long")
+    elif r_lt.startswith("decimal2:"):
+        # wide decimals (p>18) store two int64 LIMB streams; per-limb
+        # zone stats are not monotone in the value, so there is no
+        # footer fast path — gracefully degrade to decoding EVERY
+        # chunk (exact, just slower) instead of raising the operator
+        # away for decimal(38,x) money columns.  vmin/vmax = NULL
+        # makes `interior` false and `overlap` true for every chunk.
+        lo_dec, hi_dec = Decimal(str(lo)), Decimal(str(hi))
+        r_lo_lit, r_hi_lit = F.lit(lo_dec), F.lit(hi_dec)
+        vmin = F.lit(None).cast("long")
+        vmax = F.lit(None).cast("long")
+        lo_b, hi_b = F.lit(0), F.lit(0)
     elif (r_lt == "plain" or r_lt.startswith("narrow_int:")
           or r_lt == "timestamp_us"
           or r_lt.startswith("timestamp_us:")):
@@ -390,6 +402,14 @@ def footer_topk(chunks: DataFrame, order_col: str, k: int,
     if rc.select("chunk_id").head() is None:
         raise ValueError(f"footer_topk: no footer rows for "
                          f"{order_col!r}")
+    # stat-vs-stat comparisons only, so a double cast stays EXACT in
+    # effect even for int64 stats past 2^53: nearest rounding f is
+    # monotone (a >= b => f(a) >= f(b)), min/max commute with a
+    # monotone map, and every comparison below is in the conservative
+    # direction — an excluded chunk has f(vmax) < f(t) => vmax < t,
+    # so exclusion is provably safe; collapses only ever ADD
+    # candidates (ties at f(t)).  Locked by
+    # test_footer_topk_exact_beyond_double_precision.
     vmin = F.get_json_object("stats_json", "$.vmin").cast("double")
     vmax = F.get_json_object("stats_json", "$.vmax").cast("double")
     no_nulls = F.coalesce(F.length("validity"), F.lit(0)) == 0
