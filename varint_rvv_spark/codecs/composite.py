@@ -40,7 +40,13 @@ def varlen_to_pa(va: B.VarlenArray) -> pa.Array:
 
 
 def pa_to_varlen(arr: pa.Array) -> B.VarlenArray:
-    """LargeBinary/Binary/String Arrow array → VarlenArray (handles offsets)."""
+    """LargeBinary/Binary/String Arrow array → VarlenArray (handles offsets).
+
+    ZERO-COPY on the data buffer: frombuffer keeps the Arrow buffer
+    alive via refcount and returns a read-only view — VarlenArray
+    values are immutable by contract (same as dec_raw's views), and
+    the old defensive .copy() was ~10% of the whole encode kernel on
+    a web-page chunk (BENCH/KERNELS.md r5 profile)."""
     if pa.types.is_string(arr.type) or pa.types.is_binary(arr.type):
         arr = arr.cast(pa.large_binary())
     elif pa.types.is_large_string(arr.type):
@@ -50,14 +56,14 @@ def pa_to_varlen(arr: pa.Array) -> B.VarlenArray:
     raw_off = np.frombuffer(bufs[1], dtype=np.int64,
                             count=arr.offset + n + 1)[arr.offset:]
     base = int(raw_off[0])
-    offsets = (raw_off - base).astype(np.int64)
+    offsets = raw_off - base  # fresh int64 array — no further copy
     total = int(offsets[-1])
     if bufs[2] is not None and total:
         data = np.frombuffer(bufs[2], dtype=np.uint8,
-                             count=base + total)[base:].copy()
+                             count=base + total)[base:]
     else:
         data = np.empty(0, dtype=np.uint8)
-    return B.VarlenArray(offsets=offsets.copy(), data=data)
+    return B.VarlenArray(offsets=offsets, data=data)
 
 
 # --- RAW (codec 0): dumb baseline / zstd carrier ---
@@ -103,12 +109,24 @@ def dec_raw(payload, n: int, dtype_code: int):
 # --- ZSTD (codec 6): wraps an inner blob ---
 # payload = inner_uncompressed_len:u64 | zstd(inner_blob)
 
+# level 2 beats Arrow's default (level 1) on BOTH axes for web text
+# measured SOLO single-core (html 0.351 vs 0.335 GB/s AND 3.54x vs
+# 3.33x, interleaved min-of-7) — but see BENCH/KERNELS.md r5 for the
+# parallel-contention A/B that picked the default.  Decode reads any
+# level (zstd frames are self-describing), so stored blobs stay
+# compatible and the knob is safe to tune per deployment.
+import os as _os
+
+_ZSTD_LEVEL = int(_os.environ.get("SPARK_GRAFT_ZSTD_LEVEL", "2"))
+_ZSTD = pa.Codec("zstd", compression_level=_ZSTD_LEVEL)
+
+
 def enc_zstd(values, dtype_code: int, inner_codec: int = B.RAW) -> bytes:
     if inner_codec == B.RAW:
         inner = _raw_inner_blob(values, dtype_code)  # single-copy path
     else:
         inner = B.encode_blob(inner_codec, dtype_code, values)
-    comp = pa.compress(pa.py_buffer(inner), codec="zstd", asbytes=True)
+    comp = _ZSTD.compress(pa.py_buffer(inner), asbytes=True)
     return _U64.pack(len(inner)) + comp
 
 
@@ -138,7 +156,7 @@ def enc_split(values, dtype_code: int) -> bytes:
     item = v.dtype.itemsize
     planes = v.view(np.uint8).reshape(-1, item).T.copy()
     raw = planes.tobytes()
-    comp = pa.compress(pa.py_buffer(raw), codec="zstd", asbytes=True)
+    comp = _ZSTD.compress(pa.py_buffer(raw), asbytes=True)
     return bytes([item]) + _U64.pack(len(raw)) + comp
 
 
