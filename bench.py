@@ -137,6 +137,92 @@ def bench_pages(spark) -> dict:
     }
 
 
+_STORE_VERSION = "r5"  # bump when the chunk store format changes
+
+
+def bench_ops(spark) -> dict:
+    """Operator-family N→4N scaling stages (VERDICT r4 #7): MinHash
+    signature compute (the map-side front half of the dedup pipeline,
+    pure JVM expressions) and a zone-map pruned range read that
+    decodes ~half the store (url+warc_ts+text — real decode volume,
+    so the number measures the engine, not the pruning turnaround
+    floor).  Inputs are deterministic and shared across parallelism
+    levels (the encoded store is built once per format version)."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from varint_rvv_spark.operators.decode import scan_encoded
+    from varint_rvv_spark.operators.dedup import (
+        minhash_signatures_from_array,
+        word_shingle_array,
+    )
+    from varint_rvv_spark.operators.encode import encode_chunks_range
+    from varint_rvv_spark.sources.tables import read_chunks, write_encoded
+
+    reps = int(_os.environ.get(
+        "SPARK_GRAFT_OPS_REPS",
+        _os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    pages = spark.read.parquet(pages_parquet(spark, N_PAGES))
+    # deterministic 1/frac slice for the md5-heavy minhash stage —
+    # identical rows at every parallelism level (hash filter, not
+    # limit), sized so a 160k-page ladder stays tractable
+    frac = int(_os.environ.get("SPARK_GRAFT_OPS_FRACTION", "8"))
+    mh_in = pages.filter(F.pmod(F.xxhash64("url"), F.lit(frac)) == 0)
+    raw_text = int(mh_in.agg(
+        F.sum(F.octet_length("text"))).collect()[0][0])
+
+    def mh():
+        arr = word_shingle_array(mh_in, "url", "text", 3)
+        sig = minhash_signatures_from_array(arr, "url", 16)
+        return sig.agg(F.count(F.lit(1)), F.sum("mh0")).collect()
+
+    mh()  # warm
+    t_mh = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        mh()
+        t_mh = min(t_mh, time.perf_counter() - t0)
+
+    store = f"/tmp/vrs_scaling_store_{N_PAGES}"
+    marker = f"{store}/.version_{_STORE_VERSION}"
+    if not _os.path.exists(marker):
+        ch = encode_chunks_range(pages, ["warc_ts"], num_partitions=8,
+                                 rows_per_chunk=2048)
+        write_encoded(ch, store, mode="overwrite")
+        open(marker, "w").write(_STORE_VERSION)
+    chunks = read_chunks(spark, store)
+    b = pages.agg(F.min(F.unix_micros("warc_ts")).alias("lo"),
+                  F.max(F.unix_micros("warc_ts")).alias("hi")).head()
+    span = b.hi - b.lo
+    lo, hi = b.lo + span * 2 // 5, b.lo + span * 9 // 10
+    sel = pages.filter(F.unix_micros("warc_ts").between(lo, hi)).agg(
+        F.sum(F.octet_length("text") + F.octet_length("url")
+              + F.lit(8)).alias("nb"),
+        F.count(F.lit(1)).alias("n")).head()
+
+    def pruned():
+        d = scan_encoded(chunks, ["url", "warc_ts", "text"],
+                         "url string, warc_ts timestamp, text string",
+                         ranges={"warc_ts": (lo, hi)})
+        return d.agg(F.count(F.lit(1))).head()[0]
+
+    n_sel = pruned()  # warm
+    assert n_sel == sel.n, (n_sel, sel.n)
+    t_pr = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        pruned()
+        t_pr = min(t_pr, time.perf_counter() - t0)
+    return {
+        "minhash_sec": round(t_mh, 3),
+        "minhash_gbps": round(raw_text / t_mh / 1e9, 3),
+        "pruned_sec": round(t_pr, 3),
+        "pruned_gbps": round(int(sel.nb) / t_pr / 1e9, 3),
+        "pruned_rows": int(n_sel),
+    }
+
+
 def main() -> None:
     from varint_rvv_spark.plans.session import get_spark
 

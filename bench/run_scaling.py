@@ -34,7 +34,9 @@ bench.N_PAGES = {pages}
 spark = get_spark(app="scaling-{cpus}", master="local[{cpus}]",
                   shuffle_partitions={cpus})
 spark.sparkContext.setLogLevel("ERROR")
-print("RESULT " + json.dumps(bench.bench_pages(spark)))
+res = bench.bench_pages(spark)
+res.update(bench.bench_ops(spark))
+print("RESULT " + json.dumps(res))
 spark.stop()
 """
 
@@ -70,7 +72,9 @@ def main() -> None:
                 for sec, gbps in (("encode_sec", "encode_gbps"),
                                   ("decode_sec", "decode_gbps"),
                                   ("encode_shuffle_sec",
-                                   "encode_shuffle_gbps")):
+                                   "encode_shuffle_gbps"),
+                                  ("minhash_sec", "minhash_gbps"),
+                                  ("pruned_sec", "pruned_gbps")):
                     if cur[sec] < best[sec]:
                         best[sec], best[gbps] = cur[sec], cur[gbps]
         res[cpus] = best
@@ -80,12 +84,16 @@ def main() -> None:
     eff_enc = (hi["encode_shuffle_gbps"] / lo["encode_shuffle_gbps"]) / 4.0
     eff_enc_scan = (hi["encode_gbps"] / lo["encode_gbps"]) / 4.0
     eff_dec = (hi["decode_gbps"] / lo["decode_gbps"]) / 4.0
+    eff_mh = (hi["minhash_gbps"] / lo["minhash_gbps"]) / 4.0
+    eff_pr = (hi["pruned_gbps"] / lo["pruned_gbps"]) / 4.0
     summary = {
         "pages": pages, "n_low": n_low, "n_high": n_high,
         "results": {str(k): v for k, v in res.items()},
         "scaling_efficiency_encode": round(eff_enc, 3),
         "scaling_efficiency_encode_scan": round(eff_enc_scan, 3),
         "scaling_efficiency_decode": round(eff_dec, 3),
+        "scaling_efficiency_minhash": round(eff_mh, 3),
+        "scaling_efficiency_pruned_read": round(eff_pr, 3),
     }
     print(json.dumps(summary))
     md = REPO / "BENCH" / "BASELINE.md"
@@ -94,6 +102,10 @@ def main() -> None:
         f"| local[{c}] | {r['raw_bytes']:,} | {r['encoded_bytes']:,} "
         f"| {r['compression_ratio']}x | {r['encode_shuffle_gbps']} "
         f"| {r['encode_gbps']} | {r['decode_gbps']} |"
+        for c, r in res.items())
+    ops_rows = "\n".join(
+        f"| local[{c}] | {r['minhash_gbps']} | {r['pruned_gbps']} "
+        f"| {r['pruned_rows']:,} |"
         for c, r in res.items())
     md.write_text(f"""# BENCH/BASELINE — engine measured numbers
 
@@ -118,6 +130,27 @@ instruction): local[{n_low}] vs local[{n_high}].
 encode(clustered) **{eff_enc:.3f}**, decode **{eff_dec:.3f}**
 (target ≥ 0.8 per BASELINE.json north_rule);
 encode(scan) {eff_enc_scan:.3f} — see co-scheduling note below.
+
+## Operator-family scaling (beyond the codec kernels)
+
+Same ladder, two operator stages (bench.bench_ops): **MinHash
+signatures** (map-side dedup front half — word-shingle arrays →
+16 affine-mixed array_min hashes, pure JVM expressions over the
+pages text column) and a **zone-map pruned range read** (warc_ts
+range selecting ~50% of the ts-clustered store, decoding
+url+warc_ts+text — real decode volume, not the pruning turnaround
+floor).
+
+| config | minhash GB/s (text) | pruned read GB/s (selected) | pruned rows |
+|---|---|---|---|
+{ops_rows}
+
+**Scaling efficiency local[{n_low}]→local[{n_high}]:** minhash
+**{eff_mh:.3f}**, pruned read **{eff_pr:.3f}** (ideal 1.0, target
+≥ 0.8).  The minhash stage is one whole-stage-codegen scan (no
+shuffle before the band join, which is excluded here); the pruned
+read is footer metadata + parallel chunk decode of the surviving
+~50%.
 
 ## Why N={n_low} (and why local[32] is also shown)
 
