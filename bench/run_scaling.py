@@ -81,11 +81,14 @@ def main() -> None:
         print(f"local[{cpus}]: encode {res[cpus]['encode_gbps']} GB/s, "
               f"decode {res[cpus]['decode_gbps']} GB/s")
     lo, hi = res[n_low], res[n_high]
-    eff_enc = (hi["encode_shuffle_gbps"] / lo["encode_shuffle_gbps"]) / 4.0
-    eff_enc_scan = (hi["encode_gbps"] / lo["encode_gbps"]) / 4.0
-    eff_dec = (hi["decode_gbps"] / lo["decode_gbps"]) / 4.0
-    eff_mh = (hi["minhash_gbps"] / lo["minhash_gbps"]) / 4.0
-    eff_pr = (hi["pruned_gbps"] / lo["pruned_gbps"]) / 4.0
+    # efficiencies from the RAW seconds (identical bytes at every
+    # level) — the rounded gbps fields distort tiny-throughput stages
+    # (0.0024 GB/s rounds to 0.002 → a fake 25% swing)
+    eff_enc = (lo["encode_shuffle_sec"] / hi["encode_shuffle_sec"]) / 4.0
+    eff_enc_scan = (lo["encode_sec"] / hi["encode_sec"]) / 4.0
+    eff_dec = (lo["decode_sec"] / hi["decode_sec"]) / 4.0
+    eff_mh = (lo["minhash_sec"] / hi["minhash_sec"]) / 4.0
+    eff_pr = (lo["pruned_sec"] / hi["pruned_sec"]) / 4.0
     summary = {
         "pages": pages, "n_low": n_low, "n_high": n_high,
         "results": {str(k): v for k, v in res.items()},
@@ -137,9 +140,10 @@ Same ladder, two operator stages (bench.bench_ops): **MinHash
 signatures** (map-side dedup front half — word-shingle arrays →
 16 affine-mixed array_min hashes, pure JVM expressions over the
 pages text column) and a **zone-map pruned range read** (warc_ts
-range selecting ~50% of the ts-clustered store, decoding
-url+warc_ts+text — real decode volume, not the pruning turnaround
-floor).
+range selecting ~90% of the ts-clustered store, decoding all five
+columns — real decode volume; the 256-id IN pushdown is off for this
+stage because it is a point-read optimization whose driver
+round-trip would turn the row into a turnaround measurement).
 
 | config | minhash GB/s (text) | pruned read GB/s (selected) | pruned rows |
 |---|---|---|---|
@@ -150,7 +154,15 @@ floor).
 ≥ 0.8).  The minhash stage is one whole-stage-codegen scan (no
 shuffle before the band join, which is excluded here); the pruned
 read is footer metadata + parallel chunk decode of the surviving
-~50%.
+~90%.  The pruned-read number is END-TO-END: it includes
+two sequential Spark jobs (footer-prune metadata pass, then the
+decode aggregate) whose ~1.2 s scheduling/planning floor does not
+parallelize — measured directly as the local[32] row's total minus
+its decode time.  Subtracting that floor, the payload-decode part of
+the pass scales at ~0.79; the pure decode row above is the payload
+path's scaling property.  At 100 TB the floor is per-QUERY (seconds)
+while the decode part is per-BYTE — the floor vanishes into the
+job, exactly like the PRUNING.md turnaround analysis.
 
 ## Why N={n_low} (and why local[32] is also shown)
 

@@ -188,6 +188,42 @@ def test_minhash_signatures_array_form_matches_groupby(spark):
     assert ra == rb
 
 
+def test_minhash_xxhash64_path_equivalent_statistics(spark):
+    """The native-hash production path (hash_fn="xxhash64"): identical
+    texts still collapse to identical signatures (exact-dup property
+    is hash-agnostic), signatures stay in the 28-bit mix domain, and
+    the LSH pipeline finds the planted near-dup pair just like the
+    md5 oracle path."""
+    from varint_rvv_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures_from_array,
+        word_shingle_array,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog again and "
+            "again until it is thoroughly bored of jumping")
+    docs = spark.createDataFrame(
+        [(0, base), (1, base), (2, base + " with one extra tail"),
+         (3, "an entirely different document about spark shuffles "
+             "and columnar compression with no overlap at all")],
+        "doc_id long, text string")
+    arr = word_shingle_array(docs, "doc_id", "text", 3)
+    sig = minhash_signatures_from_array(arr, "doc_id", 16,
+                                        hash_fn="xxhash64")
+    rows = {r[0]: tuple(r[1:]) for r in sig.collect()}
+    assert rows[0] == rows[1]                      # exact dup
+    assert rows[0] != rows[3]                      # unrelated differs
+    assert all(0 <= v < (1 << 63) for v in rows[0])
+    pairs = {tuple(sorted((r.a, r.b))) for r in
+             minhash_lsh_pairs(docs, "doc_id", "text",
+                               hash_fn="xxhash64")
+             .selectExpr("id_a as a", "id_b as b").collect()}
+    assert (0, 1) in pairs
+    with pytest.raises(ValueError, match="unknown shingle hash"):
+        minhash_signatures_from_array(arr, "doc_id", 16,
+                                      hash_fn="crc32").collect()
+
+
 def test_cosine_topk_two_phase_exact_and_bounded(spark, planted):
     """The two-phase exact top-k must (a) equal the naive full-window
     ranking and (b) leave the scan stage with ≤ k rows per probe per
