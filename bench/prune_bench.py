@@ -257,7 +257,14 @@ def main() -> None:
         "plus a fixed multi-stage plan overhead, while the decode "
         "path is O(rows); the row/chunk ratio (~20k here, ~64 MB of "
         "payload per footer row in production) sets how fast the "
-        "decode side falls behind as the store grows.",
+        "decode side falls behind as the store grows.  Round 5's "
+        "skew-proof rank-uniform buckets add ~0.6 s of fixed cost "
+        "(one bounded percentile_approx edge aggregate + an "
+        "interpreted counting lambda), moving the toy-scale "
+        "crossover out from ~40M rows — the deliberate trade: the "
+        "r4 equal-width grid was cheaper here but collapsed to a "
+        "single window partition on heavy-tailed columns, which at "
+        "100 TB is a job-killer rather than a 0.6 s constant.",
         "",
         "Selective prunes are re-pushed as a `chunk_id IN (...)` scan "
         "filter (decode.push_chunk_filter), so parquet row-group "

@@ -24,59 +24,87 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
-def rank_boundaries(df: DataFrame, col: str, buckets: int,
-                    accuracy: int = 10_000) -> list:
-    """≤`buckets`-1 approximate quantile boundaries of `col`, as
-    driver-side literals (sorted, deduplicated).
+_COARSE_MAX = 64  # quantile literals per bucket expression (see below)
 
-    One distributed `percentile_approx` aggregate (map-side partial
-    merge, no skew) collecting a SINGLE row of ≤`buckets`-1 values —
-    bounded at ~8 KB for the default 1024 buckets, the same
-    metadata-scale trade as compact_chunks' bin packing.  Collecting
-    to the driver (rather than broadcasting the agg row in-plan) is
-    deliberate: the boundaries become plain literals, so a plan that
-    references the bucketed frame from several branches can never
-    re-sample different boundaries per branch — bucket ids are
-    consistent by construction.
 
-    `percentile_approx` returns ACTUAL column values (no
-    interpolation), so integer boundaries stay exact integers — no
-    2^53 double collapse.  NULLs are ignored by the sketch.
+def rank_edges(df: DataFrame, col: str, coarse: int,
+               accuracy: int = 2_000) -> list:
+    """[min, q_1, ..., q_{coarse-1}, max] edge literals of `col` —
+    one bounded driver aggregate (single row, ≤64 values).
+
+    `accuracy` defaults to 2000 (not percentile_approx's 10000): the
+    edges only steer BALANCE — a 1/2000 rank error against 1/64
+    bucket mass is invisible, and the sketch merge is measurably
+    cheaper on wide stores.
+
+    One distributed `percentile_approx` + min/max aggregate (map-side
+    partial merge, no skew) — the same metadata-scale trade as
+    compact_chunks' bin packing.  Collecting to the driver (rather
+    than broadcasting the agg row in-plan) is deliberate: the edges
+    become plain literals, so a plan that references the bucketed
+    frame from several branches can never re-sample different
+    boundaries per branch — bucket ids are consistent by
+    construction.  NULLs are ignored by the sketch.
     """
-    if buckets < 1:
-        raise ValueError("rank_boundaries: buckets must be >= 1")
-    if buckets == 1:
+    aggs = [F.min(F.col(col).cast("double")).alias("_lo"),
+            F.max(F.col(col).cast("double")).alias("_hi")]
+    if coarse > 1:
+        fracs = F.array(*[F.lit(i / coarse) for i in range(1, coarse)])
+        aggs.append(F.percentile_approx(
+            F.col(col).cast("double"), fracs, F.lit(accuracy))
+            .alias("_q"))
+    row = df.agg(*aggs).head()
+    if row is None or row._lo is None:
         return []
-    fracs = F.array(*[F.lit(i / buckets) for i in range(1, buckets)])
-    row = df.agg(F.percentile_approx(
-        F.col(col), fracs, F.lit(accuracy)).alias("_b")).head()
-    vals = row[0] if row is not None and row[0] is not None else []
-    return sorted(set(v for v in vals if v is not None))
+    qs = [v for v in (row._q or [])
+          if v is not None] if coarse > 1 else []
+    return [float(row._lo)] + [float(q) for q in qs] + [float(row._hi)]
 
 
-def bucket_search_expr(col: str, boundaries: list) -> Column:
-    """Bucket id = #{boundaries <= value}, as a balanced binary-search
-    tree of literal comparisons — O(log B) comparisons per row, pure
-    whole-stage-codegen JVM expression (no crossJoin, no arithmetic,
-    so no ANSI overflow on wide-spanning columns).
+def bucket_expr(col: str, edges: list, sub: int) -> Column:
+    """Monotone bucket id from rank edges + equal-width refinement.
 
-    Monotone in `col` by construction (thresholds are sorted), which
-    is the only property correctness needs; balance is what the
-    rank-uniform boundaries buy.  A NULL value falls through every
-    comparison into the LAST bucket — callers that care guard NULLs
-    upstream (ordered_cumsum raises).
-    """
-    c = F.col(col)
+    Two levels, both CONSTANT-SIZE expressions (an r5 lesson: a
+    binary-search CaseWhen tree over 1023 literals costs ~6 s of
+    analysis/codegen PER QUERY — the compile cost, not the row cost,
+    dominated):
 
-    def _search(lo: int, hi: int) -> Column:
-        # invariant: answer in [lo, hi]; thresholds b[lo..hi-1] active
-        if lo == hi:
-            return F.lit(lo)
-        mid = (lo + hi) // 2
-        return (F.when(c < F.lit(boundaries[mid]), _search(lo, mid))
-                .otherwise(_search(mid + 1, hi)))
+    * coarse = #{quantile edges <= v}: one `aggregate` lambda over a
+      ≤63-literal array — O(64) per row, a single small expression
+      node;
+    * sub = equal-width position within [edge[c], edge[c+1]) via
+      `element_at` on the literal edge array — O(1), double
+      arithmetic (monotone, overflow-free for any span).
 
-    return _search(0, len(boundaries))
+    bucket = coarse·sub_buckets + sub is monotone in `col`: coarse is
+    monotone (sorted thresholds), and within one coarse range the
+    equal-width floor is monotone, with ranges ordered.  Balance: a
+    coarse bucket holds ≤ ~1/64 of the rows by construction (rank
+    edges), so no downstream window partition exceeds that bound even
+    when a heavy tail collapses every sub-bucket; near-uniform data
+    additionally spreads ~1/(64·sub) per bucket.  A NULL value gets a
+    NULL bucket — callers guard NULLs upstream (ordered_cumsum
+    raises; footer samples are never NULL)."""
+    v = F.col(col).cast("double")
+    if len(edges) < 2:
+        return F.lit(0)
+    if len(edges) == 2:  # no interior quantiles: pure equal-width
+        coarse = F.lit(0)
+        lo_c, hi_c = F.lit(edges[0]), F.lit(edges[1])
+    else:
+        qlits = F.array(*[F.lit(e) for e in edges[1:-1]])
+        coarse = F.aggregate(
+            qlits, F.lit(0),
+            lambda acc, b: acc
+            + F.when(v >= b, F.lit(1)).otherwise(F.lit(0)))
+        elits = F.array(*[F.lit(e) for e in edges])
+        lo_c = F.element_at(elits, coarse + 1)
+        hi_c = F.element_at(elits, coarse + 2)
+    width = hi_c - lo_c
+    sub_e = F.when(width > 0, F.least(
+        F.floor((v - lo_c) / width * sub).cast("int"),
+        F.lit(sub - 1))).otherwise(F.lit(0))
+    return (coarse * sub + sub_e).cast("int")
 
 
 def bucket_by_rank(df: DataFrame, col: str, buckets: int,
@@ -88,17 +116,21 @@ def bucket_by_rank(df: DataFrame, col: str, buckets: int,
     per-bucket work composes with a ≤`buckets`-row prefix pass.
 
     Unlike an equal-width value grid (this function's r4 predecessor,
-    bucket_by_span), boundaries come from sampled quantiles
-    (rank_boundaries), so a heavy-tailed column — one 10^9× outlier
+    bucket_by_span), the coarse level comes from sampled quantiles
+    (rank_edges), so a heavy-tailed column — one 10^9× outlier
     document, a power-law revenue column — still spreads across
     buckets instead of collapsing into bucket 0 and re-creating the
-    single-partition funnel.  Max bucket weight ≈ 1/buckets of the
-    rows + the sketch's rank error (1/accuracy), except for mass
+    single-partition funnel: no bucket carries more than ~1/64 of the
+    rows (+ the sketch's 1/accuracy rank error), except mass
     concentrated on a SINGLE repeated value, which no monotone
     bucketing can split (ordered_cumsum forbids ties anyway).
     """
-    bnds = rank_boundaries(df, col, buckets)
-    return df.withColumn(out_col, bucket_search_expr(col, bnds))
+    if buckets < 1:
+        raise ValueError("bucket_by_rank: buckets must be >= 1")
+    coarse = min(buckets, _COARSE_MAX)
+    sub = max(1, (buckets + coarse - 1) // coarse)
+    edges = rank_edges(df, col, coarse)
+    return df.withColumn(out_col, bucket_expr(col, edges, sub))
 
 
 # r4-compat name: the scaffold used to be an equal-width value grid;
