@@ -394,3 +394,29 @@ def test_span_dup_coverage_planted(spark):
     assert out[1].n_shingles == 7 and out[1].n_dup == 3
     assert out[2].n_dup == 3
     assert out[3].n_dup == 0 and out[3].dup_frac == 0.0
+
+
+def test_ngram_decontaminate_semantics_and_plan(spark):
+    """Planted contamination: a corpus doc embedding a benchmark
+    5-gram is flagged with exact hit counts; clean and too-short docs
+    are absent.  The benchmark shingle set must BROADCAST (the corpus
+    side never shuffles un-matched rows)."""
+    from varint_rvv_spark.operators.dedup import ngram_decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta")],
+        "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(0, "prefix words alpha beta gamma delta epsilon more tail"),
+         (1, "a completely unrelated training document with no "
+             "benchmark overlap whatsoever in any window"),
+         (2, "alpha beta gamma")],  # < k tokens: no shingles
+        "doc_id long, text string")
+    out = ngram_decontaminate(docs, bench, "doc_id", "text", k=5)
+    rows = {r.doc_id: (r.n_shingles, r.n_contaminated)
+            for r in out.collect()}
+    # doc 0 has 5 distinct 5-grams, exactly one of which ("alpha ...
+    # epsilon") appears in the benchmark text's shingle set
+    assert rows == {0: (5, 1)}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan

@@ -204,6 +204,46 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     return lsh_candidate_pairs(sig, id_col, n_hashes, bands)
 
 
+def ngram_decontaminate(docs: DataFrame, bench: DataFrame,
+                        id_col: str, text_col: str,
+                        bench_text_col: str | None = None,
+                        k: int = 8) -> DataFrame:
+    """Test-set decontamination — the standard pretraining hygiene
+    pass (word-k-gram overlap against an evaluation corpus, per the
+    public GPT-3 appendix-C / Llama recipes): flag every training
+    document sharing at least one k-gram with the benchmark set.
+
+    Returns one row per CONTAMINATED document:
+    (id_col, n_shingles bigint, n_contaminated bigint) — the doc's
+    distinct-shingle count and how many of them appear in the
+    benchmark.  Clean docs are absent; survivors = docs left-anti
+    this frame on id_col.
+
+    100 TB shape: the corpus side is pure map-side shingle arrays
+    (zero shuffle — word_shingle_array); the benchmark side is tiny
+    by construction (eval suites, not corpora) and reduces to a
+    distinct-shingle set that BROADCASTs into a semi-join, so the
+    only rows that ever shuffle are the matched (id, shingle) hits —
+    bounded by true contamination volume, not corpus size.  Docs
+    with fewer than k tokens have no shingles and cannot be flagged.
+    """
+    bench_text_col = bench_text_col or text_col
+    bsh = (word_shingle_array(
+        bench.select(F.lit(0).alias("_bid"),
+                     F.col(bench_text_col)),
+        "_bid", bench_text_col, k)
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct())
+    arr = word_shingle_array(docs, id_col, text_col, k)
+    hits = (arr.select(F.col(id_col),
+                       F.size("shingles").alias("n_shingles"),
+                       F.explode("shingles").alias("shingle"))
+            .join(F.broadcast(bsh), "shingle", "left_semi"))
+    return (hits.groupBy(id_col)
+            .agg(F.max("n_shingles").cast("long").alias("n_shingles"),
+                 F.count(F.lit(1)).alias("n_contaminated")))
+
+
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         k: int = 3, threshold: float = 0.5,
                         max_doc_freq: int | None = 1000) -> DataFrame:

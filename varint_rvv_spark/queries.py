@@ -1537,6 +1537,41 @@ WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
 """
 
 
+def decontaminate_documents(spark, sf_dir):
+    """Test-set decontamination (operators/dedup.ngram_decontaminate):
+    docs sharing a word 5-gram with the deterministic "benchmark"
+    slice (doc_id % 17 == 0) are flagged with their shingle and hit
+    counts.  Corpus shingles stay map-side; the benchmark shingle set
+    broadcasts — only true hits ever shuffle."""
+    from .operators.dedup import ngram_decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 17 == 0)
+    corpus = d.filter(F.col("doc_id") % 17 != 0)
+    return ngram_decontaminate(corpus, bench, "doc_id", "text", k=5)
+
+
+DECONTAMINATE_SQL = """
+WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+           FROM documents),
+c AS (SELECT DISTINCT doc_id,
+             toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+               || ' ' || toks[i+3] || ' ' || toks[i+4] AS shingle
+      FROM d, UNNEST(range(1, len(toks) - 3)) AS t(i)
+      WHERE doc_id % 17 != 0),
+b AS (SELECT DISTINCT
+             toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+               || ' ' || toks[i+3] || ' ' || toks[i+4] AS shingle
+      FROM d, UNNEST(range(1, len(toks) - 3)) AS t(i)
+      WHERE doc_id % 17 = 0),
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM c GROUP BY doc_id),
+hits AS (SELECT doc_id, COUNT(*) AS n_contaminated
+         FROM c JOIN b USING (shingle) GROUP BY doc_id)
+SELECT h.doc_id, s.n_shingles, h.n_contaminated
+FROM hits h JOIN sizes s USING (doc_id)
+"""
+
+
 def dedup_span_coverage(spark, sf_dir):
     """Per-document duplicated-span coverage (Lee et al. 2022 metric):
     fraction of each doc's distinct word 3-shingles that appear in at
@@ -2590,6 +2625,7 @@ QUERIES = {
     "pack_sequences_documents": pack_sequences_documents,
     "footer_range_agg_events": footer_range_agg_events,
     "footer_topk_events": footer_topk_events,
+    "decontaminate_documents": decontaminate_documents,
     # -- r4-green fills ----------------------------------------------
     "rt_documents_by_lang": rt_documents_by_lang,
     "rt_events_by_type": rt_events_by_type,
@@ -2610,8 +2646,8 @@ QUERIES = {
     "rt_documents_annotations": rt_documents_annotations,
     "rt_events_forced_float_codecs": rt_events_forced_float_codecs,
     "scan_encoded_clicks_window": scan_encoded_clicks_window,
-    "dedup_minhash_survivors": dedup_minhash_survivors,
     # ---- driver window ends at 50 entries (here) -------------------
+    "dedup_minhash_survivors": dedup_minhash_survivors,
     "tpch_q22ish_dormant_rich": tpch_q22ish_dormant_rich,
     "tpch_q16ish_supplier_variety": tpch_q16ish_supplier_variety,
     "tpch_q7ish_nation_trade": tpch_q7ish_nation_trade,
@@ -2659,6 +2695,7 @@ ORACLES = {
     "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
     "dedup_span_coverage": SPAN_COVERAGE_SQL,
     "dedup_minhash_survivors": _minhash_survivors_sql(),
+    "decontaminate_documents": DECONTAMINATE_SQL,
     "dedup_simhash": _simhash_sql(),
     "embedding_neardup": _embedding_neardup_sql(),
     "embedding_neardup_survivors": _embedding_survivors_sql(),
