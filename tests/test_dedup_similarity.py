@@ -420,3 +420,26 @@ def test_ngram_decontaminate_semantics_and_plan(spark):
     assert rows == {0: (5, 1)}
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_repetition_stats_semantics_zero_shuffle(spark):
+    """Gopher-style repetition fractions: exact on planted docs, both
+    fractions capped at 1.0, sub-k docs zeroed — and the whole
+    operator is ONE map stage (no Exchange: the in-row sorted
+    run-length lambda replaces the classic explode+groupBy corpus
+    shuffle)."""
+    from varint_rvv_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [(0, "a b a b a b"),    # "a b" x3 of 5 grams, 6 words
+         (1, "u v w x y z"),    # all grams distinct
+         (2, "solo"),           # fewer than k words
+         (3, "r r r r")],       # "r r" x3
+        "doc_id long, text string")
+    out = repetition_stats(df, "doc_id", "text", k=2)
+    rows = {r.doc_id: (r.n_words, r.top_2gram_frac, r.dup_2gram_frac)
+            for r in out.collect()}
+    assert rows == {0: (6, 1.0, 1.0), 1: (6, 0.33333, 0.0),
+                    2: (1, 0.0, 0.0), 3: (4, 1.0, 1.0)}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -31,12 +31,10 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.join(wins, [id_col], "left_semi")
 
 
-def word_shingle_array(df: DataFrame, id_col: str, text_col: str,
-                       k: int = 3,
-                       out_col: str = "shingles") -> DataFrame:
-    """Distinct word k-shingles per document as ONE array column —
-    the zero-explode form word_shingles and the map-side MinHash
-    signatures build on."""
+def word_gram_expr(text_col, k: int):
+    """ALL word k-grams of a text column, in order, duplicates kept —
+    one array expression (the zip_with chain shared by shingling and
+    repetition stats)."""
     toks = tokens(text_col)
     n = F.size(toks)
     gram = toks
@@ -46,8 +44,17 @@ def word_shingle_array(df: DataFrame, id_col: str, text_col: str,
         gram = F.zip_with(gram, F.slice(toks, i + 1, n - i),
                           lambda x, y: F.concat(x, F.lit(" "), y))
     grams = F.slice(gram, 1, n - (k - 1))
-    arr = F.when(n >= k, F.array_distinct(grams)).otherwise(
+    return F.when(n >= k, grams).otherwise(
         F.array().cast("array<string>"))
+
+
+def word_shingle_array(df: DataFrame, id_col: str, text_col: str,
+                       k: int = 3,
+                       out_col: str = "shingles") -> DataFrame:
+    """Distinct word k-shingles per document as ONE array column —
+    the zero-explode form word_shingles and the map-side MinHash
+    signatures build on."""
+    arr = F.array_distinct(word_gram_expr(text_col, k))
     return df.select(F.col(id_col), arr.alias(out_col))
 
 

@@ -99,3 +99,58 @@ def fingerprint(df: DataFrame, text_col: str = "text",
     text — the cross-run document identity key."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     return df.withColumn(out_col, F.md5(F.encode(norm, "utf-8")))
+
+
+def repetition_stats(df: DataFrame, id_col: str,
+                     text_col: str = "text", k: int = 2) -> DataFrame:
+    """Gopher/MassiveText-style repetition quality stats (public
+    rules, Rae et al. 2021 §A1.1): per document, the fraction of
+    words covered by the single most frequent word k-gram and by ALL
+    duplicated k-grams.  High values flag boilerplate / keyword-stuff
+    pages that survive exact and near dedup.
+
+    100 TB shape: ZERO shuffle.  Per-doc gram counting would
+    classically explode + groupBy(doc, gram) — a corpus-sized
+    exchange; instead the gram array is sorted IN the row
+    (array_sort) and counted by a run-length `aggregate` lambda
+    (equal grams are adjacent after the sort), so the whole operator
+    is one whole-stage map over the scan.
+
+    Definitions (mirrored exactly by the DuckDB oracle):
+      n_words            size of the whitespace token array
+      top_kgram_frac     min(1, k·max_gram_count / n_words)
+      dup_kgram_frac     min(1, k·Σ{count>1} count / n_words)
+    Documents with fewer than k words have zero grams → both
+    fractions 0.  Rounded to 5 decimals.
+    """
+    init = F.struct(F.lit(None).cast("string").alias("prev"),
+                    F.lit(0).alias("run"), F.lit(0).alias("best"),
+                    F.lit(0).alias("dup"))
+
+    def step(acc, x):
+        same = acc["prev"].isNotNull() & (acc["prev"] == x)
+        run = F.when(same, acc["run"] + 1).otherwise(F.lit(1))
+        dup = F.when(~same & (acc["run"] > 1),
+                     acc["dup"] + acc["run"]).otherwise(acc["dup"])
+        return F.struct(x.alias("prev"), run.alias("run"),
+                        F.greatest(acc["best"], run).alias("best"),
+                        dup.alias("dup"))
+
+    def fin(acc):
+        return F.struct(
+            acc["best"].alias("best"),
+            F.when(acc["run"] > 1, acc["dup"] + acc["run"])
+            .otherwise(acc["dup"]).alias("dup"))
+
+    from ..functions import tokens
+    from .dedup import word_gram_expr
+
+    grams = F.array_sort(word_gram_expr(text_col, k))
+    st = F.aggregate(grams, init, step, fin)
+    n_words = F.size(tokens(text_col))
+    frac = (lambda c: F.round(
+        F.least(F.lit(1.0), F.lit(float(k)) * c / n_words), 5))
+    return df.withColumn("_st", st).select(
+        F.col(id_col), n_words.cast("long").alias("n_words"),
+        frac(F.col("_st.best")).alias(f"top_{k}gram_frac"),
+        frac(F.col("_st.dup")).alias(f"dup_{k}gram_frac"))

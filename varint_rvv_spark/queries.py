@@ -1572,6 +1572,36 @@ FROM hits h JOIN sizes s USING (doc_id)
 """
 
 
+def repetition_stats_documents(spark, sf_dir):
+    """Gopher-style repetition quality stats (operators/text.py::
+    repetition_stats): per-doc top/duplicated word-2-gram coverage,
+    computed with ZERO shuffle (in-row array_sort + run-length
+    aggregate lambda instead of the classic explode+groupBy corpus
+    exchange)."""
+    from .operators.text import repetition_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return repetition_stats(d, "doc_id", "text", k=2)
+
+
+REPETITION_STATS_SQL = """
+WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+           FROM documents),
+g AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS gram
+      FROM d, UNNEST(range(1, len(toks))) AS t(i)),
+c AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2),
+a AS (SELECT doc_id, MAX(c) AS best,
+             COALESCE(SUM(c) FILTER (WHERE c > 1), 0) AS dup
+      FROM c GROUP BY 1)
+SELECT d.doc_id, CAST(len(d.toks) AS BIGINT) AS n_words,
+       ROUND(LEAST(1.0, 2.0 * COALESCE(a.best, 0) / len(d.toks)), 5)
+         AS top_2gram_frac,
+       ROUND(LEAST(1.0, 2.0 * COALESCE(a.dup, 0) / len(d.toks)), 5)
+         AS dup_2gram_frac
+FROM d LEFT JOIN a USING (doc_id)
+"""
+
+
 def dedup_span_coverage(spark, sf_dir):
     """Per-document duplicated-span coverage (Lee et al. 2022 metric):
     fraction of each doc's distinct word 3-shingles that appear in at
@@ -2626,6 +2656,7 @@ QUERIES = {
     "footer_range_agg_events": footer_range_agg_events,
     "footer_topk_events": footer_topk_events,
     "decontaminate_documents": decontaminate_documents,
+    "repetition_stats_documents": repetition_stats_documents,
     # -- r4-green fills ----------------------------------------------
     "rt_documents_by_lang": rt_documents_by_lang,
     "rt_events_by_type": rt_events_by_type,
@@ -2645,8 +2676,8 @@ QUERIES = {
     "rt_documents_tokens": rt_documents_tokens,
     "rt_documents_annotations": rt_documents_annotations,
     "rt_events_forced_float_codecs": rt_events_forced_float_codecs,
-    "scan_encoded_clicks_window": scan_encoded_clicks_window,
     # ---- driver window ends at 50 entries (here) -------------------
+    "scan_encoded_clicks_window": scan_encoded_clicks_window,
     "dedup_minhash_survivors": dedup_minhash_survivors,
     "tpch_q22ish_dormant_rich": tpch_q22ish_dormant_rich,
     "tpch_q16ish_supplier_variety": tpch_q16ish_supplier_variety,
@@ -2696,6 +2727,7 @@ ORACLES = {
     "dedup_span_coverage": SPAN_COVERAGE_SQL,
     "dedup_minhash_survivors": _minhash_survivors_sql(),
     "decontaminate_documents": DECONTAMINATE_SQL,
+    "repetition_stats_documents": REPETITION_STATS_SQL,
     "dedup_simhash": _simhash_sql(),
     "embedding_neardup": _embedding_neardup_sql(),
     "embedding_neardup_survivors": _embedding_survivors_sql(),
