@@ -150,3 +150,36 @@ def test_ordered_cumsum_duplicate_order_raises(spark):
                                "id long, v long")
     with pytest.raises(Exception, match="duplicate"):
         ordered_cumsum(df, "id", "v").collect()
+
+
+def test_bucket_by_rank_monotone_adversarial_distributions(spark):
+    """The ONLY property correctness needs from the scaffold:
+    bucket id is non-decreasing in the value, for int64 extremes,
+    massive ties, mixed-magnitude floats, and power laws; bucket
+    count never exceeds the request; empty frames don't crash."""
+    from varint_rvv_spark.operators.pack import bucket_by_rank
+
+    cases = [
+        ("long", [-2 ** 63 + 1, -2 ** 62, -1, 0, 1, 2 ** 62,
+                  2 ** 63 - 1]),
+        ("long", [5] * 50 + [7] * 3 + [9]),
+        ("double", [1e-300, 1e300, 0.0, -1e300]
+         + [float(i) for i in range(100)]),
+        ("long", [10 ** 15] + [i * i for i in range(1, 300)]),
+    ]
+    for typ, vals in cases:
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)],
+            f"id long, v {typ}")
+        got = bucket_by_rank(df, "v", 16).select("v", "_bkt").collect()
+        got.sort(key=lambda r: (r.v, r._bkt))
+        bkts = [r._bkt for r in got]
+        assert all(a <= b for a, b in zip(bkts, bkts[1:])), (typ, bkts)
+        # ties must share one bucket (monotone both directions)
+        by_v = {}
+        for r in got:
+            by_v.setdefault(r.v, set()).add(r._bkt)
+        assert all(len(s) == 1 for s in by_v.values()), by_v
+        assert len(set(bkts)) <= 16
+    empty = spark.createDataFrame([], "id long, v long")
+    assert bucket_by_rank(empty, "v", 16).count() == 0
