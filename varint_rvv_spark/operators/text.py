@@ -102,7 +102,8 @@ def fingerprint(df: DataFrame, text_col: str = "text",
 
 
 def repetition_stats(df: DataFrame, id_col: str,
-                     text_col: str = "text", k: int = 2) -> DataFrame:
+                     text_col: str = "text", k: int = 2,
+                     keep_input: bool = False) -> DataFrame:
     """Gopher/MassiveText-style repetition quality stats (public
     rules, Rae et al. 2021 §A1.1): per document, the fraction of
     words covered by the single most frequent word k-gram and by ALL
@@ -121,7 +122,9 @@ def repetition_stats(df: DataFrame, id_col: str,
       top_kgram_frac     min(1, k·max_gram_count / n_words)
       dup_kgram_frac     min(1, k·Σ{count>1} count / n_words)
     Documents with fewer than k words have zero grams → both
-    fractions 0.  Rounded to 5 decimals.
+    fractions 0.  Rounded to 5 decimals.  `keep_input=True`
+    keeps every input column alongside the metrics (the
+    pipeline-filter form — still zero shuffle).
     """
     init = F.struct(F.lit(None).cast("string").alias("prev"),
                     F.lit(0).alias("run"), F.lit(0).alias("best"),
@@ -150,7 +153,9 @@ def repetition_stats(df: DataFrame, id_col: str,
     n_words = F.size(tokens(text_col))
     frac = (lambda c: F.round(
         F.least(F.lit(1.0), F.lit(float(k)) * c / n_words), 5))
-    return df.withColumn("_st", st).select(
-        F.col(id_col), n_words.cast("long").alias("n_words"),
-        frac(F.col("_st.best")).alias(f"top_{k}gram_frac"),
-        frac(F.col("_st.dup")).alias(f"dup_{k}gram_frac"))
+    metrics = [n_words.cast("long").alias("n_words"),
+               frac(F.col("_st.best")).alias(f"top_{k}gram_frac"),
+               frac(F.col("_st.dup")).alias(f"dup_{k}gram_frac")]
+    base = [F.col(c) for c in df.columns] if keep_input \
+        else [F.col(id_col)]
+    return df.withColumn("_st", st).select(*base, *metrics)

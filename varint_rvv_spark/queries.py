@@ -2540,20 +2540,37 @@ FROM q GROUP BY lang
 
 def pipeline_clean_corpus(spark, sf_dir):
     """End-to-end corpus cleaning — the composed training-data
-    pipeline: quality gate → exact dedup on the normalized fingerprint
-    (keep min doc_id) → deterministic 50% hash-sample → per-lang
-    survivor stats.  Every stage is a first-class operator; the oracle
-    replays the identical pipeline in SQL."""
+    pipeline (r5: two hygiene stages added): quality gate → exact
+    dedup on the normalized fingerprint (keep min doc_id) → test-set
+    DECONTAMINATION (drop docs sharing a 5-gram with the benchmark
+    slice doc_id % 17 == 0, which is excluded from the corpus) →
+    REPETITION filter (dup_2gram_frac <= 0.2, Gopher rule) →
+    deterministic 50% hash-sample → per-lang survivor stats.  Every
+    stage is a first-class operator; the oracle replays the identical
+    pipeline in SQL."""
     from .functions import md5_bucket
-    from .operators.text import fingerprint, quality_score
+    from .operators.dedup import ngram_decontaminate
+    from .operators.text import (
+        fingerprint,
+        quality_score,
+        repetition_stats,
+    )
 
     d = _t(spark, sf_dir, "documents")
-    gated = quality_score(d).filter(F.col("quality") >= 0.5)
+    bench = d.filter(F.col("doc_id") % 17 == 0)
+    corpus = d.filter(F.col("doc_id") % 17 != 0)
+    gated = quality_score(corpus).filter(F.col("quality") >= 0.5)
     fp = fingerprint(gated)
     wins = (fp.groupBy("fingerprint")
             .agg(F.min("doc_id").alias("doc_id")))
     survivors = fp.join(wins, ["fingerprint", "doc_id"], "left_semi")
-    sampled = survivors.filter(md5_bucket("doc_id", 100) < 50)
+    cont = ngram_decontaminate(survivors, bench, "doc_id", "text",
+                               k=5).select("doc_id")
+    decont = survivors.join(F.broadcast(cont), "doc_id", "left_anti")
+    low_rep = (repetition_stats(decont, "doc_id", "text", k=2,
+                                keep_input=True)
+               .filter(F.col("dup_2gram_frac") <= 0.2))
+    sampled = low_rep.filter(md5_bucket("doc_id", 100) < 50)
     return (sampled.groupBy("lang")
             .agg(F.count("*").alias("n_docs"),
                  F.sum("doc_id").alias("sum_ids"),
@@ -2561,7 +2578,8 @@ def pipeline_clean_corpus(spark, sf_dir):
 
 
 PIPELINE_CLEAN_SQL = r"""
-WITH f AS (
+WITH corpus0 AS (SELECT * FROM documents WHERE doc_id % 17 != 0),
+f AS (
   SELECT doc_id, lang, text,
          LENGTH(text) AS n_chars,
          CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
@@ -2569,7 +2587,7 @@ WITH f AS (
            AS n_tokens,
          LENGTH(regexp_replace(text, '[^A-Za-zÀ-ÿа-яА-Я]', '', 'g'))
            AS n_alpha
-  FROM documents),
+  FROM corpus0),
 q AS (
   SELECT doc_id, lang, text,
          ROUND(0.4 * LEAST(n_tokens / 100.0, 1.0)
@@ -2589,8 +2607,37 @@ survivors AS (
   SELECT fp.* FROM fp
   JOIN (SELECT fingerprint, MIN(doc_id) AS doc_id FROM fp
         GROUP BY fingerprint) w USING (fingerprint, doc_id)),
+s_tok AS (SELECT doc_id,
+                 string_split_regex(trim(text), '\s+') AS toks
+          FROM survivors),
+s_sh AS (SELECT DISTINCT doc_id,
+                toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                  || ' ' || toks[i+3] || ' ' || toks[i+4] AS shingle
+         FROM s_tok, UNNEST(range(1, len(toks) - 3)) AS t(i)),
+b_tok AS (SELECT string_split_regex(trim(text), '\s+') AS toks
+          FROM documents WHERE doc_id % 17 = 0),
+b_sh AS (SELECT DISTINCT
+                toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                  || ' ' || toks[i+3] || ' ' || toks[i+4] AS shingle
+         FROM b_tok, UNNEST(range(1, len(toks) - 3)) AS t(i)),
+cont AS (SELECT DISTINCT doc_id FROM s_sh JOIN b_sh USING (shingle)),
+decont AS (SELECT * FROM survivors
+           WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+g2 AS (SELECT s.doc_id, s.toks[i] || ' ' || s.toks[i+1] AS gram
+       FROM s_tok s JOIN decont USING (doc_id),
+            UNNEST(range(1, len(s.toks))) AS t(i)),
+c2 AS (SELECT doc_id, gram, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+a2 AS (SELECT doc_id,
+              COALESCE(SUM(c) FILTER (WHERE c > 1), 0) AS dup
+       FROM c2 GROUP BY 1),
+low_rep AS (
+  SELECT d.* FROM decont d
+  JOIN s_tok st USING (doc_id)
+  LEFT JOIN a2 USING (doc_id)
+  WHERE ROUND(LEAST(1.0, 2.0 * COALESCE(a2.dup, 0)
+                         / len(st.toks)), 5) <= 0.2),
 sampled AS (
-  SELECT * FROM survivors
+  SELECT * FROM low_rep
   WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
              AS BIGINT) % 100 < 50)
 SELECT lang, COUNT(*) AS n_docs,
