@@ -32,7 +32,10 @@ HEADLINE = ["tpch_q1", "tpch_q3_shipping", "tpch_q6_revenue",
             "rt_lineitem_q1", "rt_documents_by_lang",
             "dedup_exact_documents", "dedup_minhash_lsh",
             "text_token_counts", "embedding_topk_cosine",
-            "window_order_rank", "events_daily"]
+            "window_order_rank", "events_daily",
+            # r5 hygiene family (keys only ADD to the suite — earlier
+            # keys stay round-over-round comparable)
+            "decontaminate_documents", "repetition_stats_documents"]
 
 
 def pages_parquet(spark, n_pages: int) -> str:
