@@ -443,3 +443,34 @@ def test_repetition_stats_semantics_zero_shuffle(spark):
                     2: (1, 0.0, 0.0), 3: (4, 1.0, 1.0)}
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_repetition_stats_matches_bruteforce(spark):
+    """The run-length aggregate lambda vs a plain Python recount over
+    random short docs (alphabet small enough to force collisions;
+    doc length <= 13 so no 5th-decimal rounding ties between
+    engines)."""
+    import random
+    import re
+    from collections import Counter
+
+    from varint_rvv_spark.operators.text import repetition_stats
+
+    rnd = random.Random(42)
+    docs = [(i, " ".join(rnd.choice("abcdefg")
+                         for _ in range(rnd.randint(0, 13))))
+            for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: (r.n_words, r.top_2gram_frac, r.dup_2gram_frac)
+           for r in repetition_stats(df, "doc_id", "text", 2).collect()}
+    for doc_id, text in docs:
+        toks = re.split(r"\s+", text.strip())  # '' -> [''] like tokens()
+        grams = [" ".join(toks[i:i + 2]) for i in range(len(toks) - 1)] \
+            if len(toks) >= 2 else []
+        c = Counter(grams)
+        n = len(toks)
+        best = max(c.values()) if c else 0
+        dup = sum(v for v in c.values() if v > 1)
+        exp = (n, round(min(1.0, 2.0 * best / n), 5),
+               round(min(1.0, 2.0 * dup / n), 5))
+        assert got[doc_id] == exp, (doc_id, text, got[doc_id], exp)
