@@ -474,3 +474,30 @@ def test_repetition_stats_matches_bruteforce(spark):
         exp = (n, round(min(1.0, 2.0 * best / n), 5),
                round(min(1.0, 2.0 * dup / n), 5))
         assert got[doc_id] == exp, (doc_id, text, got[doc_id], exp)
+
+
+def test_canonical_url_and_dedup(spark):
+    """Equivalent URLs collide byte-identically; distinct ones don't;
+    malformed URLs never merge."""
+    from varint_rvv_spark.operators.text import canonical_url, url_dedup
+
+    cases = [
+        (0, "https://WWW.Example.com/a/b/?utm_source=x&id=2#frag"),
+        (1, "http://example.com/a/b?id=2&utm_campaign=y"),  # same page
+        (2, "https://example.com/a/b?id=3"),                # diff param
+        (3, "https://other.org/a/b?id=2"),                  # diff host
+        (4, "not a url at all"),                            # malformed
+        (5, "https://example.com/c&d=1"),                   # & in path
+    ]
+    df = spark.createDataFrame(cases, "doc_id long, url string")
+    got = {r.doc_id: r.c for r in
+           df.select("doc_id", canonical_url("url").alias("c"))
+           .collect()}
+    assert got[0] == got[1] == "example.com/a/b?id=2"
+    assert got[2] == "example.com/a/b?id=3"
+    assert got[3] == "other.org/a/b?id=2"
+    assert got[4] is None
+    assert got[5] == "example.com/c&d=1"
+    kept = sorted(r.doc_id for r in
+                  url_dedup(df, "url", "doc_id").collect())
+    assert kept == [0, 2, 3, 4, 5]  # 1 merged into 0; malformed kept

@@ -159,3 +159,49 @@ def repetition_stats(df: DataFrame, id_col: str,
     base = [F.col(c) for c in df.columns] if keep_input \
         else [F.col(id_col)]
     return df.withColumn("_st", st).select(*base, *metrics)
+
+
+TRACKING_PARAM_RE = r"^(utm_[A-Za-z]+|gclid|fbclid|msclkid|ref|ref_src)="
+
+
+def canonical_url(col) -> F.Column:
+    """Canonical form of a web URL — the join/dedup key of every
+    crawl pipeline's first stage (standard normalization, public
+    practice): lowercase host, strip a leading `www.`, drop the
+    scheme and fragment, strip trailing slashes from the path, drop
+    tracking query params (utm_*/gclid/fbclid/...), and sort the
+    surviving params so equivalent URLs collide byte-identically.
+
+    Pure JVM expressions (try_parse_url + array ops — ANSI mode's parse_url raises on malformed input) — usable as a
+    map-side key at any scale.  A URL with no host (malformed)
+    canonicalizes to NULL so it never joins."""
+    u = F.trim(F.col(col) if isinstance(col, str) else col)
+    host = F.regexp_replace(
+        F.lower(F.try_parse_url(u, F.lit("HOST"))), r"^www\.", "")
+    path = F.regexp_replace(
+        F.coalesce(F.try_parse_url(u, F.lit("PATH")), F.lit("")),
+        r"/+$", "")
+    query = F.try_parse_url(u, F.lit("QUERY"))
+    kept = F.array_sort(F.filter(
+        F.split(F.coalesce(query, F.lit("")), "&"),
+        lambda p: (F.length(p) > 0)
+        & ~p.rlike(TRACKING_PARAM_RE)))
+    qs = F.when(F.size(kept) > 0,
+                F.concat(F.lit("?"), F.array_join(kept, "&"))) \
+        .otherwise(F.lit(""))
+    return F.when(host.isNull() | (F.length(host) == 0), F.lit(None)) \
+        .otherwise(F.concat(host, path, qs))
+
+
+def url_dedup(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
+    """Keep one row per canonical URL (lowest `id_col` wins —
+    deterministic).  One shuffle on the canonical key; rows whose URL
+    fails to canonicalize (NULL key) are all kept, matching the
+    convention that malformed keys never merge."""
+    c = canonical_url(url_col)
+    keyed = df.withColumn("_curl", c)
+    wins = (keyed.filter(F.col("_curl").isNotNull())
+            .groupBy("_curl").agg(F.min(id_col).alias(id_col)))
+    kept = keyed.join(wins, ["_curl", id_col], "left_semi")
+    return kept.unionByName(keyed.filter(F.col("_curl").isNull())) \
+        .drop("_curl")

@@ -1602,6 +1602,43 @@ FROM d LEFT JOIN a USING (doc_id)
 """
 
 
+def url_dedup_documents(spark, sf_dir):
+    """Canonical-URL dedup (operators/text.canonical_url — the first
+    stage of a crawl pipeline): deterministic synthetic URLs over
+    documents (scheme/WWW casing, trailing slash, a utm_ tracking
+    param) that the canonicalizer must collapse to the analytically
+    known key src.example.com/p/<doc_id%37>?sid=<doc_id%3>; the
+    oracle computes that key directly, so parity proves the
+    parse_url-based normalization lands on the exact expected form."""
+    from .operators.text import url_dedup
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "url", F.concat(
+            F.lit("https://WWW."), F.col("source"),
+            F.lit(".example.com/p/"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("/?utm_source=a&sid="),
+            (F.col("doc_id") % 3).cast("string")))
+    kept = url_dedup(d, "url", "doc_id")
+    return (kept.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("doc_id").alias("sum_ids")))
+
+
+URL_DEDUP_SQL = """
+WITH u AS (
+  SELECT doc_id, source,
+         lower(source) || '.example.com/p/' || (doc_id % 7)
+           || '?sid=' || (doc_id % 3) AS curl
+  FROM documents),
+w AS (SELECT curl, MIN(doc_id) AS doc_id FROM u GROUP BY curl)
+SELECT u.source, COUNT(*) AS n_docs,
+       CAST(SUM(u.doc_id) AS BIGINT) AS sum_ids
+FROM u JOIN w USING (curl, doc_id)
+GROUP BY u.source
+"""
+
+
 def dedup_span_coverage(spark, sf_dir):
     """Per-document duplicated-span coverage (Lee et al. 2022 metric):
     fraction of each doc's distinct word 3-shingles that appear in at
@@ -2704,6 +2741,7 @@ QUERIES = {
     "footer_topk_events": footer_topk_events,
     "decontaminate_documents": decontaminate_documents,
     "repetition_stats_documents": repetition_stats_documents,
+    "url_dedup_documents": url_dedup_documents,
     # -- r4-green fills ----------------------------------------------
     "rt_documents_by_lang": rt_documents_by_lang,
     "rt_events_by_type": rt_events_by_type,
@@ -2722,8 +2760,8 @@ QUERIES = {
     "rt_events_struct_map": rt_events_struct_map,
     "rt_documents_tokens": rt_documents_tokens,
     "rt_documents_annotations": rt_documents_annotations,
-    "rt_events_forced_float_codecs": rt_events_forced_float_codecs,
     # ---- driver window ends at 50 entries (here) -------------------
+    "rt_events_forced_float_codecs": rt_events_forced_float_codecs,
     "scan_encoded_clicks_window": scan_encoded_clicks_window,
     "dedup_minhash_survivors": dedup_minhash_survivors,
     "tpch_q22ish_dormant_rich": tpch_q22ish_dormant_rich,
@@ -2775,6 +2813,7 @@ ORACLES = {
     "dedup_minhash_survivors": _minhash_survivors_sql(),
     "decontaminate_documents": DECONTAMINATE_SQL,
     "repetition_stats_documents": REPETITION_STATS_SQL,
+    "url_dedup_documents": URL_DEDUP_SQL,
     "dedup_simhash": _simhash_sql(),
     "embedding_neardup": _embedding_neardup_sql(),
     "embedding_neardup_survivors": _embedding_survivors_sql(),
