@@ -24,9 +24,17 @@ if _REPO not in sys.path:
 
 def _prep(spark: SparkSession) -> None:
     """Ship the package to executors + pin oracle-stable session conf."""
-    from varint_rvv_spark.plans.session import ship_package
+    from varint_rvv_spark.plans.session import (
+        EXCLUDED_OPTIMIZER_RULES,
+        ship_package,
+    )
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # plan-shape only (results are unaffected): stops explode's inferred
+    # filter from re-evaluating expensive array builders 2-3x per row —
+    # see plans/session.py
+    spark.conf.set("spark.sql.optimizer.excludedRules",
+                   EXCLUDED_OPTIMIZER_RULES)
     ship_package(spark)
 
 

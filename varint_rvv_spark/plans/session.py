@@ -15,6 +15,19 @@ from pyspark.sql import SparkSession
 
 DEFAULT_BATCH_ROWS = 65536  # the LMUL/window-size analogue (SURVEY §4)
 
+# InferFiltersFromGenerate synthesizes `size(arr) > 0 AND isnotnull(arr)`
+# below every explode; predicate pushdown then inlines the full array
+# expression into that filter, so an explode over a computed array
+# (shingles, grams) re-evaluates its builder 2-3x per row — measured 3x
+# on the k=5 shingle pipeline (19.0 s vs 6.5 s for one evaluation,
+# plans/r06).  Explode itself already skips empty/null arrays, and every
+# generate in this engine is over a map-side computed array where the
+# inferred filter prunes nothing earlier than the generate does, so the
+# rule is pure loss here (optimization-guide §4.4 duplication, built-in
+# edition).
+EXCLUDED_OPTIMIZER_RULES = (
+    "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+
 
 def ship_package(spark: SparkSession) -> str:
     """Ship varint_rvv_spark to executors (the --py-files analogue).
@@ -46,6 +59,8 @@ def get_spark(app: str = "varint_rvv_spark", master: str | None = None,
         SparkSession.builder.appName(app)
         .master(master)
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.optimizer.excludedRules",
+                EXCLUDED_OPTIMIZER_RULES)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
