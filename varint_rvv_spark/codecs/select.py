@@ -99,11 +99,20 @@ def column_stats(values, dtype_code: int) -> dict:
     return stats
 
 
-def _exact_int_sizes(values, dtype_code: int) -> dict:
-    """Exact encoded sizes for the varint family — no trial encode."""
+def _exact_int_sizes(values, dtype_code: int,
+                     stats: dict | None = None) -> dict:
+    """Exact encoded sizes for the varint family — no trial encode.
+
+    When a stats dict is passed, the plain-varint byte-length array is
+    stashed as ``_varint_lens`` so the footer's per-chunk length
+    histogram (encode.py) reuses it instead of re-running the
+    searchsorted pass over the full column."""
     u = N._as_u64(values, dtype_code)
     n = u.shape[0]
-    sizes = {B.VARINT: int(varint_byte_lengths(u).sum())}
+    lens = varint_byte_lengths(u)
+    if stats is not None:
+        stats["_varint_lens"] = lens
+    sizes = {B.VARINT: int(lens.sum())}
     d = np.empty_like(u)
     if n:
         d[0] = u[0]
@@ -174,7 +183,7 @@ def select_codec(values, dtype_code: int, stats: dict | None = None) -> int:
                 cand[B.SCALED] = _trial_size(B.SCALED, sample,
                                              dtype_code, scale)
     else:
-        exact = _exact_int_sizes(values, dtype_code)
+        exact = _exact_int_sizes(values, dtype_code, stats)
         stats["_exact_int_sizes"] = exact  # reused by encode_auto
         cand.update({k: float(v) for k, v in exact.items()})
         cand[B.RAW] = float(np.ascontiguousarray(values).nbytes)

@@ -516,7 +516,13 @@ def _decode_table_contiguous(chunks: DataFrame, columns: list[str],
         if pending:
             yield flush(pending)
 
+    # row-level pruning BEFORE the Python boundary: only requested
+    # columns' payload bytes cross into the kernel (a filter preserves
+    # partition order, so chunk adjacency — the contiguous contract —
+    # is intact).  Decoding a 6-of-11-column projection previously
+    # shipped and then skipped the other 5 payloads.
     return (chunks
+            .filter(F.col("column").isin(list(columns)))
             .select("chunk_id", "column", "logical_type", "validity",
                     "payload")
             .mapInArrow(fn, spark_schema))

@@ -137,8 +137,13 @@ def _append_column_row(rows: dict, chunk_id: int, col: str, arr,
         from ..codecs.numeric import _as_u64
         from ..codecs.varint import varint_byte_lengths
 
-        hist = np.bincount(varint_byte_lengths(_as_u64(values, dt)),
-                           minlength=11)[1:]
+        # codec selection already ran this exact searchsorted pass —
+        # reuse its length array (only absent on forced-codec paths)
+        lens = stats.get("_varint_lens") if isinstance(stats, dict) \
+            else None
+        if lens is None:
+            lens = varint_byte_lengths(_as_u64(values, dt))
+        hist = np.bincount(lens, minlength=11)[1:]
         out_stats["varint_len_hist"] = [int(x) for x in hist]
         # id point-lookup stats (null fills are hashed too — extra
         # bloom bits only ever cause a kept chunk, never a pruned one)

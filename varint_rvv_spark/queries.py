@@ -40,8 +40,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _subset_schema(schema: str, cols: list[str]) -> str:
+    """Project a 'name type, ...' schema string to `cols`, in order."""
+    types = {}
+    for part in schema.split(","):
+        name, _, typ = part.strip().partition(" ")
+        types[name] = typ
+    return ", ".join(f"{c} {types[c]}" for c in cols)
+
+
 def _roundtrip(spark: SparkSession, sf_dir: str, name: str,
-               key: str) -> DataFrame:
+               key: str, need: list[str] | None = None) -> DataFrame:
     df = _t(spark, sf_dir, name)
     # chunk count scales with the session's parallelism (results are
     # chunk-count-independent: hash chunking only affects layout, and
@@ -52,14 +61,25 @@ def _roundtrip(spark: SparkSession, sf_dir: str, name: str,
     # chunks straight out of encode_chunks are chunk-contiguous within
     # each partition stream, so the zero-shuffle decode path is valid:
     # the whole round-trip has exactly one Exchange (the encode shuffle)
-    return decode_table(chunks, df.columns, TABLE_SCHEMAS[name],
+    #
+    # `need` (r6): decode only the columns the query's aggregate reads
+    # — the encode side still round-trips the WHOLE table (every column
+    # is encoded, hashed and footer'd), but payloads the query never
+    # touches stop crossing the Python decode boundary (guide §4:
+    # opaque kernels defeat Spark's own column pruning, so prune by
+    # hand).  Full-width decode bit-identity stays covered by
+    # verify_roundtrip in bench.py and the codec round-trip tests.
+    cols = need or df.columns
+    return decode_table(chunks, cols,
+                        _subset_schema(TABLE_SCHEMAS[name], cols),
                         contiguous=True)
 
 
 # ---------- engine round-trip queries ----------
 
 def rt_documents_by_lang(spark, sf_dir):
-    d = _roundtrip(spark, sf_dir, "documents", "doc_id")
+    d = _roundtrip(spark, sf_dir, "documents", "doc_id",
+                   need=["doc_id", "lang", "n_chars"])
     return (d.groupBy("lang")
             .agg(F.count("*").alias("n_docs"),
                  F.sum("n_chars").alias("sum_chars"),
@@ -74,7 +94,8 @@ FROM documents GROUP BY lang
 
 
 def rt_events_by_type(spark, sf_dir):
-    d = _roundtrip(spark, sf_dir, "events", "event_id")
+    d = _roundtrip(spark, sf_dir, "events", "event_id",
+                   need=["event_type", "ts", "user_id", "value"])
     return (d.groupBy("event_type")
             .agg(F.count("*").alias("n_events"),
                  F.min(F.unix_micros("ts")).alias("min_ts_us"),
@@ -92,7 +113,9 @@ FROM events GROUP BY event_type
 
 
 def rt_lineitem_q1(spark, sf_dir):
-    d = _roundtrip(spark, sf_dir, "lineitem", "l_orderkey")
+    d = _roundtrip(spark, sf_dir, "lineitem", "l_orderkey",
+                   need=["l_returnflag", "l_linestatus", "l_quantity",
+                         "l_extendedprice", "l_discount", "l_shipdate"])
     return (d.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
             .groupBy("l_returnflag", "l_linestatus")
             .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
