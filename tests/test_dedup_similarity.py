@@ -501,3 +501,31 @@ def test_canonical_url_and_dedup(spark):
     kept = sorted(r.doc_id for r in
                   url_dedup(df, "url", "doc_id").collect())
     assert kept == [0, 2, 3, 4, 5]  # 1 merged into 0; malformed kept
+
+
+def test_repetition_stats_kernel_matches_expression_form(spark):
+    """The Arrow counting kernel (keep_input=False) and the JVM
+    sort+run-length expression form (keep_input=True) are two
+    implementations of one definition — they must agree row-for-row,
+    including the edge rows: empty text, single token, sub-k docs,
+    NULL text, repeated-whitespace runs, and heavy duplication."""
+    import random
+
+    from varint_rvv_spark.operators.text import repetition_stats
+
+    rnd = random.Random(7)
+    rows = [(0, ""), (1, "a"), (2, "a b"), (3, "a a a a a"),
+            (4, None), (5, "  x   y  x y x y  "),
+            (6, "q w e r t y u i o p")]
+    rows += [(10 + i, " ".join(rnd.choice("abc")
+                               for _ in range(rnd.randint(0, 30))))
+             for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for k in (2, 3):
+        kern = repetition_stats(df, "doc_id", "text", k=k)
+        expr = repetition_stats(df, "doc_id", "text", k=k,
+                                keep_input=True) \
+            .select(*kern.columns)
+        a = sorted(map(tuple, kern.collect()))
+        b = sorted(map(tuple, expr.collect()))
+        assert a == b, f"k={k}: kernel and expression forms diverge"
