@@ -399,8 +399,9 @@ def test_span_dup_coverage_planted(spark):
 def test_ngram_decontaminate_semantics_and_plan(spark):
     """Planted contamination: a corpus doc embedding a benchmark
     5-gram is flagged with exact hit counts; clean and too-short docs
-    are absent.  The benchmark shingle set must BROADCAST (the corpus
-    side never shuffles un-matched rows)."""
+    are absent.  The corpus side is ONE map stage (r6 Arrow kernel —
+    no Exchange at all: the benchmark shingle set travels as a task
+    broadcast and un-matched corpus rows never shuffle)."""
     from varint_rvv_spark.operators.dedup import ngram_decontaminate
 
     bench = spark.createDataFrame(
@@ -419,7 +420,75 @@ def test_ngram_decontaminate_semantics_and_plan(spark):
     # epsilon") appears in the benchmark text's shingle set
     assert rows == {0: (5, 1)}
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "Exchange" not in plan
+    assert "MapInArrow" in plan
+
+
+def test_ngram_decontaminate_kernel_matches_join_form(spark):
+    """The Arrow counting kernel must be row-identical to the
+    reference broadcast-semi-join + groupBy formulation (the pre-r6
+    plan, rebuilt inline) on randomized corpora with planted
+    overlaps."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from varint_rvv_spark.operators.dedup import (
+        ngram_decontaminate,
+        word_shingle_array,
+    )
+
+    rnd = random.Random(11)
+    mk = lambda n: " ".join(rnd.choice("abcdef") for _ in range(n))
+    docs = spark.createDataFrame(
+        [(i, mk(rnd.randint(0, 20))) for i in range(80)],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(i, mk(rnd.randint(3, 12))) for i in range(10)],
+        "doc_id long, text string")
+    for k in (2, 3):
+        got = ngram_decontaminate(docs, bench, "doc_id", "text", k=k)
+        bsh = (word_shingle_array(
+            bench.select(F.lit(0).alias("_b"), "text"), "_b", "text", k)
+            .select(F.explode("shingles").alias("shingle")).distinct())
+        arr = word_shingle_array(docs, "doc_id", "text", k)
+        ref = (arr.select("doc_id",
+                          F.size("shingles").alias("n_shingles"),
+                          F.explode("shingles").alias("shingle"))
+               .join(F.broadcast(bsh), "shingle", "left_semi")
+               .groupBy("doc_id")
+               .agg(F.max("n_shingles").cast("long")
+                    .alias("n_shingles"),
+                    F.count(F.lit(1)).alias("n_contaminated")))
+        a = sorted(map(tuple, got.collect()))
+        b = sorted(map(tuple, ref.collect()))
+        assert a == b, f"k={k}: kernel and join forms diverge"
+
+
+def test_minhash_signatures_arrow_matches_expression_form(spark):
+    """minhash_signatures_arrow (dictionary-encoded md5 kernel) must
+    emit row-identical signatures to the expression form, including
+    dropping sub-k and null docs."""
+    import random
+
+    from varint_rvv_spark.operators.dedup import (
+        minhash_signatures_arrow,
+        minhash_signatures_from_array,
+        word_shingle_array,
+    )
+
+    rnd = random.Random(13)
+    rows = [(0, ""), (1, "a b"), (2, None), (3, "x y z x y z")]
+    rows += [(10 + i, " ".join(rnd.choice("abcd")
+                               for _ in range(rnd.randint(0, 15))))
+             for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = minhash_signatures_arrow(df, "doc_id", "text", 3, 16)
+    b = minhash_signatures_from_array(
+        word_shingle_array(df, "doc_id", "text", 3), "doc_id", 16,
+        assume_nonempty=True)
+    assert sorted(map(tuple, a.collect())) == \
+        sorted(map(tuple, b.collect()))
 
 
 def test_repetition_stats_semantics_zero_shuffle(spark):

@@ -123,6 +123,44 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str,
                       F.explode("shingles").alias("shingle"))
 
 
+def _flat_gram_arrays(toks, k: int):
+    """Arrow list<string> token column → flat word-k-gram arrays.
+
+    Returns (gcounts, doc_idx, gram) where gcounts[i] is row i's gram
+    count (0 for null rows and rows with < k tokens), doc_idx maps
+    each flat gram to its row, and gram is a pyarrow StringArray of
+    the gram strings (tokens joined with ' ' — byte-identical to the
+    JVM concat forms).  Indexing uses ABSOLUTE offsets into
+    toks.values: flatten() re-bases/compacts around nulls and would
+    break it.  Shared by the minhash-signature, decontamination and
+    repetition Arrow kernels.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = len(toks)
+    off_dt = np.int64 if pa.types.is_large_list(toks.type) else np.int32
+    offs = np.frombuffer(toks.buffers()[1], dtype=off_dt)[
+        toks.offset: toks.offset + n + 1].astype(np.int64)
+    counts = np.diff(offs)
+    gcounts = np.maximum(counts - (k - 1), 0)
+    if toks.null_count:
+        valid = toks.is_valid().to_numpy(zero_copy_only=False)
+        gcounts = np.where(valid, gcounts, 0)
+    total_g = int(gcounts.sum())
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), gcounts)
+    if not total_g:
+        return gcounts, doc_idx, pa.array([], type=pa.string())
+    g_ends = np.cumsum(gcounts)
+    within = (np.arange(total_g, dtype=np.int64)
+              - np.repeat(g_ends - gcounts, gcounts))
+    gstart = np.repeat(offs[:-1], gcounts) + within
+    values = toks.values
+    parts = [values.take(pa.array(gstart + j)) for j in range(k)]
+    return gcounts, doc_idx, pc.binary_join_element_wise(*parts, " ")
+
+
 MINHASH_P = (1 << 31) - 1  # Mersenne prime 2^31-1: a*h+b < 2^59 < 2^63
 MINHASH_HEX = 7            # 28-bit base hash: a*h never overflows int64
 
@@ -220,6 +258,80 @@ def minhash_signatures_from_array(arr: DataFrame, id_col: str,
     return base.select(F.col(id_col), *sigs)
 
 
+def minhash_signatures_arrow(df: DataFrame, id_col: str, text_col: str,
+                             k: int = 3,
+                             n_hashes: int = 16) -> DataFrame:
+    """MinHash signatures via a vectorized Arrow kernel — the r6 fast
+    twin of minhash_signatures_from_array (row-for-row identical
+    output, locked by test).
+
+    Why it wins (measured ~3x on the signature stage at sf1.0): the
+    corpus vocabulary makes word k-grams repeat heavily across
+    documents (94x at sf1.0), and inside the kernel the grams can be
+    dictionary-encoded per batch, so md5 runs once per DISTINCT gram
+    instead of once per gram — an optimization Catalyst expressions
+    cannot express.  The affine mixes and per-doc mins then run as
+    numpy matrix ops over the small dictionary and a reduceat over
+    each doc's gram range (min over duplicates equals min over the
+    distinct set, so skipping per-doc array_distinct is exact).
+
+    Only (id, token-array) crosses the Python boundary; tokenization
+    stays in the JVM so the split semantics are byte-identical to
+    every other operator.  Docs with < k tokens are dropped (same
+    contract as the expression form).
+    """
+    import pyarrow as pa
+
+    from ..functions import tokens
+
+    params = minhash_params(n_hashes)
+    schema = (f"{id_col} {df.schema[id_col].dataType.simpleString()}, "
+              + ", ".join(f"mh{i} long" for i in range(n_hashes)))
+
+    def fn(batch_iter):
+        import hashlib
+
+        import numpy as np
+
+        A = np.array([a for a, _ in params], dtype=np.int64)[:, None]
+        Bv = np.array([b for _, b in params], dtype=np.int64)[:, None]
+        P = np.int64(MINHASH_P)
+        md5 = hashlib.md5
+        assert MINHASH_HEX == 7  # digest[:4] big-endian >> 4 == hex[:7]
+        for batch in batch_iter:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column(0)
+            gcounts, _, gram = _flat_gram_arrays(batch.column(1), k)
+            keep = gcounts > 0
+            if not keep.all():
+                # contract parity: sub-k/null docs form no signature row
+                ids = ids.filter(pa.array(keep))
+            if len(ids) == 0:
+                continue
+            codes = gram.dictionary_encode()
+            idx = codes.indices.to_numpy().astype(np.int64)
+            dvals = codes.dictionary
+            # one md5 per DISTINCT gram (the 94x saving); binary cast
+            # is zero-copy and yields the same utf-8 bytes the JVM
+            # md5() hashes
+            h = np.fromiter(
+                (int.from_bytes(md5(s).digest()[:4], "big") >> 4
+                 for s in dvals.cast(pa.binary()).to_pylist()),
+                dtype=np.int64, count=len(dvals))
+            mixed = (A * h[None, :] + Bv) % P      # (n_hashes, n_dict)
+            per_gram = mixed[:, idx]               # (n_hashes, total_g)
+            starts = np.cumsum(gcounts[keep]) - gcounts[keep]
+            mins = np.minimum.reduceat(per_gram, starts, axis=1)
+            cols = [ids] + [pa.array(mins[i]) for i in range(len(params))]
+            yield pa.RecordBatch.from_arrays(
+                cols, names=[batch.schema.names[0]]
+                + [f"mh{i}" for i in range(len(params))])
+
+    src = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    return src.mapInArrow(fn, schema)
+
+
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str,
                         n_hashes: int = 16, bands: int = 4) -> DataFrame:
     """Docs sharing ≥1 LSH band bucket → candidate near-dup pairs."""
@@ -257,11 +369,18 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     pipeline into every band of both join sides (measured 2×+ slower).
     Net shuffle volume is far below the exploded-shingle groupBy form.
     """
-    arr = word_shingle_array(df, id_col, text_col, k)
-    sig = minhash_signatures_from_array(arr, id_col, n_hashes,
-                                        hash_fn=hash_fn,
-                                        assume_nonempty=True) \
-        .repartition(id_col)
+    if hash_fn == "md5":
+        # r6 fast path: Arrow kernel computes identical signatures
+        # with one md5 per distinct gram per batch (see
+        # minhash_signatures_arrow; parity is test-locked)
+        sig = minhash_signatures_arrow(df, id_col, text_col, k,
+                                       n_hashes).repartition(id_col)
+    else:
+        arr = word_shingle_array(df, id_col, text_col, k)
+        sig = minhash_signatures_from_array(arr, id_col, n_hashes,
+                                            hash_fn=hash_fn,
+                                            assume_nonempty=True) \
+            .repartition(id_col)
     return lsh_candidate_pairs(sig, id_col, n_hashes, bands)
 
 
@@ -280,14 +399,23 @@ def ngram_decontaminate(docs: DataFrame, bench: DataFrame,
     benchmark.  Clean docs are absent; survivors = docs left-anti
     this frame on id_col.
 
-    100 TB shape: the corpus side is pure map-side shingle arrays
-    (zero shuffle — word_shingle_array); the benchmark side is tiny
-    by construction (eval suites, not corpora) and reduces to a
-    distinct-shingle set that BROADCASTs into a semi-join, so the
-    only rows that ever shuffle are the matched (id, shingle) hits —
-    bounded by true contamination volume, not corpus size.  Docs
+    100 TB shape: the corpus side is ONE map stage, zero shuffle — an
+    Arrow kernel over (id, token-array) batches builds the grams,
+    dictionary-encodes them (exact string equality, C-speed; grams
+    repeat ~94x across documents at sf1.0 so most per-gram work
+    collapses onto the small per-batch dictionary), counts each doc's
+    distinct shingles, and probes the benchmark set with one hashed
+    is_in per dictionary.  The benchmark side is tiny by construction
+    (eval suites, not corpora): its distinct-shingle set is collected
+    once (Arrow transfer) and broadcast to the workers — the same
+    driver/executor footprint the previous BroadcastHashJoin build
+    carried, minus the per-corpus-row probe and the hits groupBy
+    exchange (the kernel emits final per-doc rows directly).  Docs
     with fewer than k tokens have no shingles and cannot be flagged.
+    Results are row-identical to the join+groupBy form (test-locked).
     """
+    import pyarrow as pa
+
     bench_text_col = bench_text_col or text_col
     bsh = (word_shingle_array(
         bench.select(F.lit(0).alias("_bid"),
@@ -295,14 +423,50 @@ def ngram_decontaminate(docs: DataFrame, bench: DataFrame,
         "_bid", bench_text_col, k)
         .select(F.explode("shingles").alias("shingle"))
         .distinct())
-    arr = word_shingle_array(docs, id_col, text_col, k)
-    hits = (arr.select(F.col(id_col),
-                       F.size("shingles").alias("n_shingles"),
-                       F.explode("shingles").alias("shingle"))
-            .join(F.broadcast(bsh), "shingle", "left_semi"))
-    return (hits.groupBy(id_col)
-            .agg(F.max("n_shingles").cast("long").alias("n_shingles"),
-                 F.count(F.lit(1)).alias("n_contaminated")))
+    bench_vals = bsh.toArrow().column("shingle").combine_chunks()
+    bc = docs.sparkSession.sparkContext.broadcast(bench_vals)
+
+    from ..functions import tokens
+
+    schema = (f"{id_col} {docs.schema[id_col].dataType.simpleString()},"
+              f" n_shingles long, n_contaminated long")
+
+    def fn(batch_iter):
+        import numpy as np
+        import pyarrow.compute as pc
+
+        bset = bc.value
+        for batch in batch_iter:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column(0)
+            gcounts, doc_idx, gram = _flat_gram_arrays(
+                batch.column(1), k)
+            if len(gram) == 0:
+                continue
+            codes = gram.dictionary_encode()
+            idx = codes.indices.to_numpy().astype(np.int64)
+            nd = np.int64(len(codes.dictionary))
+            uk = np.unique(doc_idx * nd + idx)   # distinct (doc, gram)
+            udoc, ucode = uk // nd, uk % nd
+            seg = np.flatnonzero(np.r_[True, udoc[1:] != udoc[:-1]])
+            n_sh = np.diff(np.r_[seg, len(uk)])
+            in_set = pc.is_in(codes.dictionary, value_set=bset) \
+                .to_numpy(zero_copy_only=False)
+            n_hit = np.add.reduceat(
+                in_set[ucode].astype(np.int64), seg)
+            mask = n_hit > 0
+            if not mask.any():
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [ids.take(pa.array(udoc[seg][mask])),
+                 pa.array(n_sh[mask], type=pa.int64()),
+                 pa.array(n_hit[mask], type=pa.int64())],
+                names=[batch.schema.names[0], "n_shingles",
+                       "n_contaminated"])
+
+    src = docs.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    return src.mapInArrow(fn, schema)
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
