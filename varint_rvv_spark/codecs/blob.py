@@ -185,7 +185,12 @@ class ListValues:
 
 @dataclass
 class VarlenArray:
-    """Arrow-layout variable-length byte column: n strings/blobs."""
+    """Arrow-layout variable-length byte column: n strings/blobs.
+
+    Lifetime note: `data`/`offsets` may be READ-ONLY zero-copy views
+    pinning the whole source Arrow buffer (composite.pa_to_varlen) —
+    holding a VarlenArray past its batch retains that memory, and
+    in-place mutation raises ValueError.  Copy before mutating."""
 
     offsets: np.ndarray  # int64[n+1], offsets[0] == 0, monotone
     data: np.ndarray     # uint8[offsets[-1]]

@@ -82,9 +82,11 @@ def bucket_expr(col: str, edges: list, sub: int) -> Column:
     coarse bucket holds ≤ ~1/64 of the rows by construction (rank
     edges), so no downstream window partition exceeds that bound even
     when a heavy tail collapses every sub-bucket; near-uniform data
-    additionally spreads ~1/(64·sub) per bucket.  A NULL value gets a
-    NULL bucket — callers guard NULLs upstream (ordered_cumsum
-    raises; footer samples are never NULL)."""
+    additionally spreads ~1/(64·sub) per bucket.  A NULL value lands
+    in bucket 0 (the when/otherwise fallbacks all produce 0 for NULL
+    comparisons) — callers MUST guard NULLs upstream (ordered_cumsum
+    raises; footer samples are never NULL); do not rely on NULL
+    propagating through the bucket id."""
     v = F.col(col).cast("double")
     if len(edges) < 2:
         return F.lit(0)

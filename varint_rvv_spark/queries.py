@@ -1268,8 +1268,16 @@ def tpch_q3_shipping(spark, sf_dir):
         F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
-            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    # dims first (r6): reduce orders by the selective customer filter
+    # BEFORE lineitem sees a join — the fact table then probes one
+    # broadcast of ~o/5 surviving keys instead of two hash relations
+    # (guide §3: build the small side small).  Inner joins commute, so
+    # results are unchanged (A/B-verified row-for-row at sf1.0;
+    # 1.71 -> 0.75 s).
+    of = (orders.join(F.broadcast(cust),
+                      orders.o_custkey == cust.c_custkey)
+          .select("o_orderkey"))
+    return (li.join(F.broadcast(of), li.l_orderkey == of.o_orderkey)
             .groupBy("l_orderkey")
             .agg(F.round(F.sum(F.col("l_extendedprice")
                                * (1 - F.col("l_discount"))), 2)
@@ -1341,9 +1349,14 @@ def window_order_rank(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     w = (Window.partitionBy("o_custkey")
          .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")))
-    return (o.withColumn("rk", F.row_number().over(w))
+    # r6: the %100 predicate is a function of the window's PARTITION
+    # key, so dropping whole partitions before the window cannot
+    # change any surviving row's rank — Spark does not infer this
+    # (the filter stayed above the Window in the plan), so apply it
+    # before the shuffle by hand: 100x fewer rows exchange
+    return (o.filter(F.col("o_custkey") % 100 == 0)
+            .withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= 2)
-            .filter(F.col("o_custkey") % 100 == 0)
             .select("o_custkey", "o_orderkey", "rk",
                     F.round("o_totalprice", 2).alias("totalprice")))
 
@@ -1379,11 +1392,16 @@ FROM (SELECT DISTINCT o_orderkey FROM orders
 def events_daily(spark, sf_dir):
     """Date/scalar functions + agg: daily event rollup."""
     e = _t(spark, sf_dir, "events")
-    return (e.groupBy(F.date_trunc("day", "ts").cast("date")
-                      .cast("string").alias("day"))
-            .agg(F.count("*").alias("n_events"),
-                 F.countDistinct("user_id").alias("n_users"),
-                 F.round(F.avg("value"), 4).alias("avg_value")))
+    # group on the DATE and stringify per group, not per row (r6):
+    # the string day key cost a per-row cast+alloc and a wider
+    # exchange; CAST(date AS STRING) after the agg is the same
+    # 'yyyy-MM-dd' value (A/B row-identical; 1.20 -> 0.86 s at sf1.0)
+    g = (e.groupBy(F.date_trunc("day", "ts").cast("date").alias("_d"))
+         .agg(F.count("*").alias("n_events"),
+              F.countDistinct("user_id").alias("n_users"),
+              F.round(F.avg("value"), 4).alias("avg_value")))
+    return g.select(F.col("_d").cast("string").alias("day"),
+                    "n_events", "n_users", "avg_value")
 
 
 EVENTS_DAILY_SQL = """
@@ -1448,15 +1466,19 @@ def embedding_topk_cosine(spark, sf_dir):
     JVM-side only: F.aggregate/zip_with dot products (no UDF).
     """
     e = _t(spark, sf_dir, "embeddings")
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    # r6: the probe norm is a per-PROBE constant — fold it into the
+    # 1-row broadcast side instead of re-running the 64-element fold
+    # per corpus row (same float sequence, so cosine bits unchanged)
     probe = e.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("probe"))
+        F.col("embedding").alias("probe"),
+        norm("embedding").alias("_pnorm"))
     joined = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(probe))
     dot = F.aggregate(F.zip_with("embedding", "probe",
                                  lambda a, b: a * b),
                       F.lit(0.0), lambda acc, x: acc + x)
-    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
-        F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
-    cos = dot / (norm("embedding") * norm("probe"))
+    cos = dot / (norm("embedding") * F.col("_pnorm"))
     return (joined.select("vec_id", F.round(cos, 5).alias("cosine"))
             .orderBy(F.desc("cosine"), F.asc("vec_id")).limit(20))
 
@@ -1630,7 +1652,7 @@ def url_dedup_documents(spark, sf_dir):
     stage of a crawl pipeline): deterministic synthetic URLs over
     documents (scheme/WWW casing, trailing slash, a utm_ tracking
     param) that the canonicalizer must collapse to the analytically
-    known key src.example.com/p/<doc_id%37>?sid=<doc_id%3>; the
+    known key src.example.com/p/<doc_id%7>?sid=<doc_id%3>; the
     oracle computes that key directly, so parity proves the
     parse_url-based normalization lands on the exact expected form."""
     from .operators.text import url_dedup
