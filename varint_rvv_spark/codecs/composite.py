@@ -70,22 +70,29 @@ def pa_to_varlen(arr: pa.Array) -> B.VarlenArray:
 # numeric payload: values.tobytes()
 # varlen payload:  offsets int64[n+1] | data
 
-def _raw_inner_blob(values, dtype_code: int) -> bytearray:
-    """Full RAW blob (header+payload) assembled with one memcpy pass."""
+def _raw_inner_blob(values, dtype_code: int) -> np.ndarray:
+    """Full RAW blob (header+payload) assembled with one memcpy pass.
+
+    np.empty, not bytearray(n): bytearray zero-fills its allocation,
+    which for the zstd carrier path meant a full extra pass over
+    hundreds of MB of html/text bytes per chunk (r6 profile: ~10% of
+    the pages encode kernel).  Returns a writable uint8 ndarray —
+    buffer-protocol-compatible with every consumer (py_buffer,
+    memoryview, bytes())."""
     n = len(values)
     if B.is_varlen(dtype_code):
         offs = np.ascontiguousarray(values.offsets, dtype="<i8")
         data = np.ascontiguousarray(values.data)
-        buf = bytearray(B.HEADER_LEN + offs.nbytes + data.nbytes)
+        buf = np.empty(B.HEADER_LEN + offs.nbytes + data.nbytes,
+                       dtype=np.uint8)
         B.HEADER.pack_into(buf, 0, B.RAW, dtype_code, n)
-        mv = memoryview(buf)
-        mv[B.HEADER_LEN:B.HEADER_LEN + offs.nbytes] = offs.view(np.uint8).data
-        mv[B.HEADER_LEN + offs.nbytes:] = data.data
+        buf[B.HEADER_LEN:B.HEADER_LEN + offs.nbytes] = offs.view(np.uint8)
+        buf[B.HEADER_LEN + offs.nbytes:] = data
         return buf
     arr = np.ascontiguousarray(values, dtype=B.NUMERIC_NP[dtype_code])
-    buf = bytearray(B.HEADER_LEN + arr.nbytes)
+    buf = np.empty(B.HEADER_LEN + arr.nbytes, dtype=np.uint8)
     B.HEADER.pack_into(buf, 0, B.RAW, dtype_code, n)
-    memoryview(buf)[B.HEADER_LEN:] = arr.view(np.uint8).reshape(-1).data
+    buf[B.HEADER_LEN:] = arr.view(np.uint8).reshape(-1)
     return buf
 
 
