@@ -485,8 +485,7 @@ def test_minhash_signatures_arrow_matches_expression_form(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     a = minhash_signatures_arrow(df, "doc_id", "text", 3, 16)
     b = minhash_signatures_from_array(
-        word_shingle_array(df, "doc_id", "text", 3), "doc_id", 16,
-        assume_nonempty=True)
+        word_shingle_array(df, "doc_id", "text", 3), "doc_id", 16)
     assert sorted(map(tuple, a.collect())) == \
         sorted(map(tuple, b.collect()))
 

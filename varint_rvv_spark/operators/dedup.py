@@ -33,11 +33,23 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def word_gram_expr(text_col, k: int):
     """ALL word k-grams of a text column, in order, duplicates kept —
-    one array expression (zip_with chain).  Self-contained (builds its
-    own token split), so it can live in a single projection; when the
-    caller can afford a two-stage projection, word_grams_from_tokens
-    over a materialized token column is 1.7-2.6x faster (r6 A/B) and
-    byte-identical — the pipelines use that form."""
+    one array expression (zip_with chain).
+
+    Deliberately CAPTURE-FREE (r6 lesson): a transform+element_at
+    construction over a bound token column measured 1.7-2.6x faster,
+    but its lambdas reference the token array, and predicate pushdown
+    substitutes aliases into lambda bodies with NO cost model — any
+    deterministic filter written above such a projection eventually
+    sinks to the scan with split() inlined INSIDE the lambdas, and
+    lambdas re-evaluate captured expressions per element: the whole
+    document re-splits once per gram, quadratic in doc length (a
+    plain size(shingles)>0 guard froze bench_ops local[1] for >30
+    min; Spark 4 even folds rand()-pinned guards back to
+    deterministic).  The zip_with chain only ever references inputs
+    in ARGUMENT position, so alias substitution stays linear no
+    matter what gets pushed.  The hot paths don't pay the chain at
+    all — they build grams in vectorized pyarrow inside the Arrow
+    kernels (_flat_gram_arrays)."""
     toks = tokens(text_col)
     n = F.size(toks)
     gram = toks
@@ -51,57 +63,18 @@ def word_gram_expr(text_col, k: int):
         F.array().cast("array<string>"))
 
 
-def word_grams_from_tokens(toks, k: int):
-    """ALL word k-grams from a *bound* token-array Column — one
-    transform over the gram-start range with k O(1) element_at gets
-    per gram, joined by concat_ws(' ').
-
-    `toks` MUST be a materialized column attribute (project
-    tokens(text) into a column first): lambda bodies re-evaluate any
-    captured non-attribute expression per element, so an inline
-    split(...) here would re-split the document once per gram
-    (measured 10-20x slower).  Against the zip_with chain (which
-    re-copies every gram prefix once per level — O(k^2/2) token copies
-    per gram vs k here) this measured 2.6x faster at k=5, 1.7x at k=2,
-    with byte-identical output: tokens are non-null and space-free, so
-    concat_ws(' ', t_i..t_{i+k-1}) equals the chain's nested concat.
-    """
-    n = F.size(toks)
-
-    def one(i):
-        return F.concat_ws(" ", *[F.element_at(toks, i + j)
-                                  for j in range(k)])
-
-    # the when-guard keeps sequence() off the n < k branch (it would
-    # produce a DESCENDING [1, 0] range and element_at(toks, 0) raises
-    # under ANSI)
-    return F.when(n >= k, F.transform(
-        F.sequence(F.lit(1), n - (k - 1)), one)) \
-        .otherwise(F.array().cast("array<string>"))
-
-
 def word_shingle_array(df: DataFrame, id_col: str, text_col: str,
                        k: int = 3,
                        out_col: str = "shingles") -> DataFrame:
     """Distinct word k-shingles per document as ONE array column —
     the zero-explode form word_shingles and the map-side MinHash
-    signatures build on.
-
-    r6 shape: tokens are materialized as a column (see
-    word_grams_from_tokens), and documents with fewer than k tokens
-    are dropped by a CHEAP filter on the token count.  Those rows
-    carried empty shingle arrays before and no caller consumed them
-    (explode skips them, the signature stage filtered them) — but a
-    filter written over the expensive shingle expression gets inlined
-    by predicate pushdown and re-evaluates the whole builder per row,
-    so the guarantee moves here where the predicate is cheap.
-    Downstream stages may therefore assume `out_col` is non-empty.
-    """
-    toks = tokens(text_col)
-    base = (df.select(F.col(id_col), toks.alias("_toks"))
-            .filter(F.size("_toks") >= k))
-    arr = F.array_distinct(word_grams_from_tokens(F.col("_toks"), k))
-    return base.select(F.col(id_col), arr.alias(out_col))
+    signatures build on.  Rows with < k tokens carry an EMPTY array.
+    Built on the capture-free zip_with chain (see word_gram_expr for
+    why the faster element_at form is forbidden here); the r6 hot
+    paths (minhash signatures, decontamination, repetition) bypass
+    this expression entirely via the Arrow kernels."""
+    arr = F.array_distinct(word_gram_expr(text_col, k))
+    return df.select(F.col(id_col), arr.alias(out_col))
 
 
 def word_shingles(df: DataFrame, id_col: str, text_col: str,
@@ -240,12 +213,9 @@ def minhash_signatures_from_array(arr: DataFrame, id_col: str,
 
     Docs with no shingles (< k tokens) are dropped, matching the
     exploded+groupBy form (they form no rows there).
-    `assume_nonempty=True` skips the empty-array filter — pass it when
-    the input comes from word_shingle_array, which guarantees
-    non-empty arrays: the filter predicate references the (lazy)
-    shingle expression, and predicate pushdown inlines it, so on a
-    lazily-built input the guard costs one full duplicate evaluation
-    of the shingle builder per row (r6 plan audit).
+    `assume_nonempty=True` skips the empty-array filter — only for
+    callers that guarantee non-empty shingle arrays (pushdown inlines
+    the filter's copy of the builder, one linear duplicate eval).
     """
     base = arr if assume_nonempty else arr.filter(F.size(arr_col) > 0)
     base = base.select(F.col(id_col),
@@ -378,8 +348,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     else:
         arr = word_shingle_array(df, id_col, text_col, k)
         sig = minhash_signatures_from_array(arr, id_col, n_hashes,
-                                            hash_fn=hash_fn,
-                                            assume_nonempty=True) \
+                                            hash_fn=hash_fn) \
             .repartition(id_col)
     return lsh_candidate_pairs(sig, id_col, n_hashes, bands)
 
@@ -650,8 +619,7 @@ def minhash_dedup_components(df: DataFrame, id_col: str, text_col: str,
     (map-side array form) and verify (exploded form) stages — one
     corpus scan, and no shuffle before the band join."""
     arr = word_shingle_array(df, id_col, text_col, k)
-    sig = minhash_signatures_from_array(arr, id_col, n_hashes,
-                                        assume_nonempty=True) \
+    sig = minhash_signatures_from_array(arr, id_col, n_hashes) \
         .repartition(id_col)
     cand = lsh_candidate_pairs(sig, id_col, n_hashes, bands)
     sh = arr.select(F.col(id_col), F.explode("shingles").alias("shingle"))

@@ -235,7 +235,7 @@ def repetition_stats(df: DataFrame, id_col: str,
             .otherwise(acc["dup"]).alias("dup"))
 
     from ..functions import tokens
-    from .dedup import word_grams_from_tokens
+    from .dedup import word_gram_expr
 
     if not keep_input:
         src = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
@@ -251,19 +251,19 @@ def repetition_stats(df: DataFrame, id_col: str,
             fr(F.col("best")).alias(f"top_{k}gram_frac"),
             fr(F.col("dup")).alias(f"dup_{k}gram_frac"))
 
-    # two-stage projection (r6): tokens bound to a column so the gram
-    # transform's element_at lambdas reference an attribute (an inline
-    # split would re-evaluate per gram — see word_grams_from_tokens),
-    # and n_words reuses the same token array instead of re-splitting
+    # capture-free gram chain (word_gram_expr — callers of the
+    # keep_input form filter on the OUTPUT metrics, and pushed
+    # predicates substitute into lambda bodies, so no element_at
+    # lambda may reference the token expression here).
     # sort_array, not array_sort: array_sort's default comparator is a
     # lambdafunction evaluated interpreted per comparison; sort_array
     # uses the native type ordering (measured 4.40 -> 3.33 s on the
     # sf1.0 sort+count sub-plan).  Identical order: grams are never
-    # null (concat_ws over non-null tokens), so the null-placement
+    # null (concat over non-null tokens), so the null-placement
     # difference between the two cannot surface.
-    grams = F.sort_array(word_grams_from_tokens(F.col("_toks"), k))
+    grams = F.sort_array(word_gram_expr(text_col, k))
     st = F.aggregate(grams, init, step, fin)
-    n_words = F.size(F.col("_toks"))
+    n_words = F.size(tokens(text_col))
     frac = (lambda c: F.round(
         F.least(F.lit(1.0), F.lit(float(k)) * c / n_words), 5))
     metrics = [n_words.cast("long").alias("n_words"),
@@ -271,8 +271,7 @@ def repetition_stats(df: DataFrame, id_col: str,
                frac(F.col("_st.dup")).alias(f"dup_{k}gram_frac")]
     base = [F.col(c) for c in df.columns] if keep_input \
         else [F.col(id_col)]
-    return (df.withColumn("_toks", tokens(text_col))
-            .withColumn("_st", st).select(*base, *metrics))
+    return df.withColumn("_st", st).select(*base, *metrics)
 
 
 TRACKING_PARAM_RE = r"^(utm_[A-Za-z]+|gclid|fbclid|msclkid|ref|ref_src)="
