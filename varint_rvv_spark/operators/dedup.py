@@ -385,17 +385,27 @@ def ngram_decontaminate(docs: DataFrame, bench: DataFrame,
     """
     import pyarrow as pa
 
-    bench_text_col = bench_text_col or text_col
-    bsh = (word_shingle_array(
-        bench.select(F.lit(0).alias("_bid"),
-                     F.col(bench_text_col)),
-        "_bid", bench_text_col, k)
-        .select(F.explode("shingles").alias("shingle"))
-        .distinct())
-    bench_vals = bsh.toArrow().column("shingle").combine_chunks()
-    bc = docs.sparkSession.sparkContext.broadcast(bench_vals)
-
     from ..functions import tokens
+
+    bench_text_col = bench_text_col or text_col
+
+    def bench_fn(batch_iter):
+        # per-batch DISTINCT grams only (pa unique) — the cross-batch
+        # dedup happens once on the collected (small) result below
+        for batch in batch_iter:
+            if batch.num_rows == 0:
+                continue
+            _, _, gram = _flat_gram_arrays(batch.column(1), k)
+            if len(gram):
+                yield pa.RecordBatch.from_arrays(
+                    [gram.unique()], names=["shingle"])
+
+    bsrc = bench.select(F.lit(0).alias("_bid"),
+                        tokens(bench_text_col).alias("_toks"))
+    bench_vals = (bsrc.mapInArrow(bench_fn, "shingle string")
+                  .toArrow().column("shingle").combine_chunks()
+                  .unique())
+    bc = docs.sparkSession.sparkContext.broadcast(bench_vals)
 
     schema = (f"{id_col} {docs.schema[id_col].dataType.simpleString()},"
               f" n_shingles long, n_contaminated long")
